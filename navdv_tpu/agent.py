@@ -1,0 +1,201 @@
+"""L3: agent state, step, and episode loop (SEMANTICS.md §2, §5).
+
+SURVEY.md §3.3–3.4 rebuild: the whole episode is ONE ``lax.scan`` with
+done-masking — no host syncs inside an episode; the per-step argmin feedback
+stays on-device. ``vmap`` over agents gives the batched-trials config
+(BASELINE config 4).
+
+Status codes: 0 = running/budget, 1 = reached, 2 = diverged, 3 = off-landscape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navdv_tpu.config import SimConfig
+from navdv_tpu.familiarity import LibraryPack, make_familiarity_jnp
+from navdv_tpu.sensor import (
+    make_candidate_views,
+    make_render_panorama,
+    scan_shift_sets,
+)
+
+STATUS_RUNNING = 0
+STATUS_REACHED = 1
+STATUS_DIVERGED = 2
+STATUS_OFF = 3
+
+
+class AgentState(NamedTuple):
+    xy: jnp.ndarray  # f32[2]
+    theta: jnp.ndarray  # f32[]
+    done: jnp.ndarray  # bool[]
+    status: jnp.ndarray  # i32[]
+
+
+class EpisodeStatics(NamedTuple):
+    """Device-resident per-episode constants (broadcast across vmapped agents)."""
+
+    landscape: jnp.ndarray  # f32[Hl, Wl]
+    lib: LibraryPack
+    route_a: jnp.ndarray  # f32[Nseg, 2] segment starts
+    route_ab: jnp.ndarray  # f32[Nseg, 2] segment vectors
+    route_denom: jnp.ndarray  # f32[Nseg] |ab|^2 (clamped)
+    goal: jnp.ndarray  # f32[2]
+
+
+class StepRecord(NamedTuple):
+    """Per-step trajectory record (stacked to [T, ...] by lax.scan)."""
+
+    xy: jnp.ndarray
+    theta: jnp.ndarray
+    fam: jnp.ndarray  # selected familiarity min_k fam[k]
+    k: jnp.ndarray  # selected candidate index
+    dist_route: jnp.ndarray  # distance to route polyline after the step
+    done: jnp.ndarray  # was the episode already finished BEFORE this step
+
+
+def make_statics(landscape, lib: LibraryPack, route: np.ndarray) -> EpisodeStatics:
+    route = jnp.asarray(route, dtype=jnp.float32)
+    a, b = route[:-1], route[1:]
+    ab = b - a
+    return EpisodeStatics(
+        landscape=jnp.asarray(landscape, dtype=jnp.float32),
+        lib=lib,
+        route_a=a,
+        route_ab=ab,
+        route_denom=jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-12),
+        goal=route[-1],
+    )
+
+
+def init_state(xy, theta) -> AgentState:
+    """Works for single ([2], []) or batched ([B, 2], [B]) starts."""
+    theta = jnp.asarray(theta, dtype=jnp.float32)
+    return AgentState(
+        xy=jnp.asarray(xy, dtype=jnp.float32),
+        theta=theta,
+        done=jnp.zeros(theta.shape, dtype=bool),
+        status=jnp.full(theta.shape, STATUS_RUNNING, dtype=jnp.int32),
+    )
+
+
+def point_to_polyline_dist(p, st: EpisodeStatics) -> jnp.ndarray:
+    """Min point-to-segment distance to the training route (SEMANTICS.md §5.2)."""
+    t = jnp.clip(
+        jnp.sum((p[None, :] - st.route_a) * st.route_ab, axis=1) / st.route_denom,
+        0.0,
+        1.0,
+    )
+    proj = st.route_a + t[:, None] * st.route_ab
+    return jnp.sqrt(jnp.min(jnp.sum((p[None, :] - proj) ** 2, axis=1)))
+
+
+def make_step(cfg: SimConfig, fam_impl: str = "jnp"):
+    """Build the pure step fn ``(AgentState, EpisodeStatics) -> (state', StepRecord)``."""
+    sensor, scan, ag = cfg.sensor, cfg.scan, cfg.agent
+    shifts, extended = scan_shift_sets(scan)
+    render = make_render_panorama(sensor)
+    views_ext = make_candidate_views(sensor, extended)
+    if fam_impl == "jnp":
+        fam_fn = make_familiarity_jnp(sensor, scan)
+    elif fam_impl == "pallas":
+        from navdv_tpu.ops.familiarity_pallas import make_familiarity_pallas
+
+        fam_fn = make_familiarity_pallas(sensor, scan)
+    else:
+        raise ValueError(fam_impl)
+    shifts_dev = jnp.asarray(shifts, dtype=jnp.float32)
+    binw = sensor.bin_width
+
+    def step(state: AgentState, st: EpisodeStatics):
+        pano = render(st.landscape, state.xy, state.theta)
+        cand = views_ext(pano)  # [Ne, P]
+        fam = fam_fn(cand, st.lib)  # [Nh]
+        k = jnp.argmin(fam)  # ties -> lowest index
+        theta_new = state.theta + shifts_dev[k] * binw
+        xy_new = state.xy + ag.step_size * jnp.stack(
+            [jnp.cos(theta_new), jnp.sin(theta_new)]
+        )
+
+        reached = jnp.sum((xy_new - st.goal) ** 2) <= ag.goal_radius**2
+        dist_route = point_to_polyline_dist(xy_new, st)
+        diverged = dist_route > ag.corridor
+        hl, wl = st.landscape.shape
+        margin = sensor.r_max
+        off = ~(
+            (xy_new[0] >= margin)
+            & (xy_new[0] <= wl - 1 - margin)
+            & (xy_new[1] >= margin)
+            & (xy_new[1] <= hl - 1 - margin)
+        )
+        # priority: reached > diverged > off (SEMANTICS.md §5)
+        new_status = jnp.where(
+            reached,
+            STATUS_REACHED,
+            jnp.where(diverged, STATUS_DIVERGED, jnp.where(off, STATUS_OFF, STATUS_RUNNING)),
+        ).astype(jnp.int32)
+
+        was_done = state.done
+        out = AgentState(
+            xy=jnp.where(was_done, state.xy, xy_new),
+            theta=jnp.where(was_done, state.theta, theta_new),
+            done=was_done | (new_status != STATUS_RUNNING),
+            status=jnp.where(was_done, state.status, new_status),
+        )
+        rec = StepRecord(
+            xy=out.xy,
+            theta=out.theta,
+            fam=fam[k],
+            k=k.astype(jnp.int32),
+            dist_route=dist_route,
+            done=was_done,
+        )
+        return out, rec
+
+    return step
+
+
+def make_navigate(cfg: SimConfig, fam_impl: str = "jnp", donate: bool = False):
+    """Build jitted ``navigate(state0, statics) -> (final_state, StepRecord[T])``."""
+    step = make_step(cfg, fam_impl)
+
+    def navigate(state0: AgentState, st: EpisodeStatics):
+        return jax.lax.scan(
+            lambda s, _: step(s, st), state0, None, length=cfg.agent.max_steps
+        )
+
+    return jax.jit(navigate)
+
+
+def make_navigate_batch(cfg: SimConfig, fam_impl: str = "jnp"):
+    """Batched trials (BASELINE config 4): vmap the whole episode over agents.
+
+    Returns jitted ``(states0 AgentState[B], statics) -> (final[B], StepRecord[B, T])``.
+    """
+    step = make_step(cfg, fam_impl)
+
+    def navigate(state0: AgentState, st: EpisodeStatics):
+        return jax.lax.scan(
+            lambda s, _: step(s, st), state0, None, length=cfg.agent.max_steps
+        )
+
+    batched = jax.vmap(navigate, in_axes=(0, None))
+    return jax.jit(batched)
+
+
+def navigate(landscape, lib: LibraryPack, route, start_xy, start_theta, cfg: SimConfig,
+             fam_impl: str = "jnp"):
+    """Convenience single-episode entry mirroring oracle.navigate's signature."""
+    st = make_statics(landscape, lib, route)
+    state0 = init_state(start_xy, start_theta)
+    return make_navigate(cfg, fam_impl)(state0, st)
+
+
+def step(state: AgentState, st: EpisodeStatics, cfg: SimConfig):
+    """Convenience unjitted single step (tests/debugging)."""
+    return make_step(cfg)(state, st)

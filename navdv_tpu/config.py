@@ -1,0 +1,97 @@
+"""Static configuration dataclasses (shared by oracle and JAX paths).
+
+All fields are static Python values: under ``jit`` they are closed over, so
+every distinct config compiles once (SURVEY.md §3.5 shape-polymorphism note).
+Semantics: SEMANTICS.md §3–§5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Polar-panorama sensor (SEMANTICS.md §3).
+
+    The sensor view is ``(n_radial, n_azimuth)`` px; the fine panorama has
+    ``n_azimuth * az_upsample`` azimuth bins so candidate headings land on
+    integer fine-bin shifts (rotation == cyclic shift, exact).
+    """
+
+    n_radial: int = 16
+    n_azimuth: int = 72
+    az_upsample: int = 5
+    r_min: float = 2.0
+    r_max: float = 10.0
+
+    @property
+    def n_fine(self) -> int:
+        return self.n_azimuth * self.az_upsample
+
+    @property
+    def bin_width(self) -> float:
+        return 2.0 * math.pi / self.n_fine
+
+    @property
+    def n_pixels(self) -> int:
+        return self.n_radial * self.n_azimuth
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Heading scan (SEMANTICS.md §5) + familiarity scoring mode (§4)."""
+
+    n_headings: int = 60
+    scan_step_bins: int = 2
+    metric: str = "ssd"  # "ssd" | "ncc"
+    tol_bins: int = 0  # RIDF rotation tolerance (fine bins), 0 = off
+
+    def shifts(self) -> list[int]:
+        """Candidate fine-bin shifts relative to the current heading."""
+        half = self.n_headings // 2
+        return [(k - half) * self.scan_step_bins for k in range(self.n_headings)]
+
+
+@dataclasses.dataclass(frozen=True)
+class AgentConfig:
+    """Kinematics and stop conditions (SEMANTICS.md §2, §5)."""
+
+    step_size: float = 1.0
+    goal_radius: float = 2.0
+    corridor: float = 20.0
+    max_steps: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Bundle of everything static for one simulation setup."""
+
+    sensor: SensorConfig = SensorConfig()
+    scan: ScanConfig = ScanConfig()
+    agent: AgentConfig = AgentConfig()
+    capture_spacing: float = 1.0  # world units between stored training views
+
+
+# --- BASELINE.json benchmark configurations (BASELINE.md table) -------------
+
+def baseline_config(n: int) -> SimConfig:
+    """The five driver-specified benchmark configs (/root/repo/BASELINE.json:7-11)."""
+    if n == 1:  # ~50 stored 72x16 views, 60-heading SSD scan
+        return SimConfig()
+    if n == 2:  # dense library: 500 views, 1-degree scan steps
+        return SimConfig(
+            scan=ScanConfig(n_headings=120, scan_step_bins=1),
+            capture_spacing=0.2,
+        )
+    if n == 3:  # high-res sensors: 360x64 px, NCC + rotation tolerance
+        return SimConfig(
+            sensor=SensorConfig(n_radial=64, n_azimuth=360, az_upsample=1),
+            scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc", tol_bins=3),
+        )
+    if n == 4:  # batched trials: 1024 vmapped agents (batching set by caller)
+        return SimConfig()
+    if n == 5:  # sweep grid — cells built by navdv_tpu.sweep
+        return SimConfig()
+    raise ValueError(f"unknown baseline config {n}")

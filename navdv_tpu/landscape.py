@@ -1,0 +1,76 @@
+"""L0: landscape textures (SEMANTICS.md §1; SURVEY.md §1 L0, §2.1 rows 1–2).
+
+Generation is host NumPy (cold path, SURVEY.md §3.1); the result is
+``device_put`` once by callers and lives in HBM for the whole run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _normalize(img: np.ndarray) -> np.ndarray:
+    lo, hi = float(img.min()), float(img.max())
+    if hi - lo < 1e-12:
+        return np.zeros_like(img, dtype=np.float32)
+    return ((img - lo) / (hi - lo)).astype(np.float32)
+
+
+def _blobs(rng: np.random.Generator, size: tuple[int, int], n_features: int) -> np.ndarray:
+    """Random Gaussian bumps — feature-rich landscape (positive control)."""
+    h, w = size
+    img = np.zeros((h, w))
+    yy, xx = np.mgrid[0:h, 0:w]
+    cx = rng.uniform(0, w, n_features)
+    cy = rng.uniform(0, h, n_features)
+    sigma = rng.uniform(min(h, w) * 0.01, min(h, w) * 0.05, n_features)
+    amp = rng.uniform(0.3, 1.0, n_features) * rng.choice([-1.0, 1.0], n_features)
+    for i in range(n_features):
+        img += amp[i] * np.exp(
+            -((xx - cx[i]) ** 2 + (yy - cy[i]) ** 2) / (2 * sigma[i] ** 2)
+        )
+    return img
+
+
+def _noise(rng: np.random.Generator, size: tuple[int, int], smooth: float) -> np.ndarray:
+    """Gaussian-smoothed uniform noise (separable FFT-free box-ish blur)."""
+    img = rng.uniform(size=size)
+    if smooth > 0:
+        radius = max(int(3 * smooth), 1)
+        t = np.arange(-radius, radius + 1)
+        k = np.exp(-0.5 * (t / smooth) ** 2)
+        k /= k.sum()
+        img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+        img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
+    return img
+
+
+def _checker(size: tuple[int, int], cell: int) -> np.ndarray:
+    h, w = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy // cell) + (xx // cell)) % 2).astype(np.float64)
+
+
+def make_landscape(
+    kind: str = "blobs",
+    size: tuple[int, int] = (512, 512),
+    seed: int = 0,
+    n_features: int = 150,
+    smooth: float = 4.0,
+    cell: int = 32,
+) -> np.ndarray:
+    """Synthesize an f32[H, W] landscape in [0, 1].
+
+    kinds: ``blobs`` | ``noise`` | ``checker`` | ``flat`` (featureless
+    negative control — recall must fail on it, SURVEY.md §4.3).
+    """
+    rng = np.random.default_rng(seed)
+    if kind == "blobs":
+        return _normalize(_blobs(rng, size, n_features))
+    if kind == "noise":
+        return _normalize(_noise(rng, size, smooth))
+    if kind == "checker":
+        return _normalize(_checker(size, cell))
+    if kind == "flat":
+        return np.full(size, 0.5, dtype=np.float32)
+    raise ValueError(f"unknown landscape kind {kind!r}")

@@ -1,0 +1,119 @@
+"""L1: on-device polar-panorama renderer (SEMANTICS.md §3; SURVEY.md §7 sensor.py).
+
+TPU-first design (SURVEY.md §3.3 structural insight): render ONE fine-azimuth
+panorama per *position*; every candidate-heading view is a cyclic shift +
+mean-pool of it, so the 60-renders-per-step loop of the reference collapses to
+a single gather pass. Sample coordinates are a static polar offset grid rotated
+by the heading (two FMAs per sample) — no trig per pixel, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from navdv_tpu.config import SensorConfig, ScanConfig
+
+
+def polar_offsets(cfg: SensorConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Static heading-relative sample offsets (dx0, dy0), each f32[R, A].
+
+    Column a looks along relative azimuth alpha_a = (a + 0.5)*binw - pi; the
+    world-frame sample point for heading theta is
+    ``xy + Rot(theta) @ (dx0, dy0)`` (SEMANTICS.md §3).
+    """
+    a = np.arange(cfg.n_fine)
+    alpha = (a + 0.5) * cfg.bin_width - np.pi
+    d = np.linspace(cfg.r_min, cfg.r_max, cfg.n_radial)
+    dx0 = (d[:, None] * np.cos(alpha)[None, :]).astype(np.float32)
+    dy0 = (d[:, None] * np.sin(alpha)[None, :]).astype(np.float32)
+    return dx0, dy0
+
+
+def candidate_col_index(sensor: SensorConfig, shifts: np.ndarray) -> np.ndarray:
+    """Static gather index i32[Ns, W*u]: row s, col w*u+j ->
+    ``(w*u + j + shifts[s]) mod A``. Applying it to a panorama's azimuth axis
+    and mean-pooling groups of u yields the view at each candidate shift."""
+    base = np.arange(sensor.n_azimuth * sensor.az_upsample)
+    return ((base[None, :] + shifts[:, None]) % sensor.n_fine).astype(np.int32)
+
+
+def bilinear_sample(landscape: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+    """Edge-clamped bilinear sample of landscape[y, x]; xs/ys any shape."""
+    h, w = landscape.shape
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    fx = xs - x0
+    fy = ys - y0
+    flat = landscape.reshape(-1)
+    idx = y0 * w + x0
+    v00 = jnp.take(flat, idx, axis=0)
+    v01 = jnp.take(flat, idx + 1, axis=0)
+    v10 = jnp.take(flat, idx + w, axis=0)
+    v11 = jnp.take(flat, idx + w + 1, axis=0)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def make_render_panorama(sensor: SensorConfig):
+    """Build ``render(landscape, xy, theta) -> f32[R, A]`` with static offsets
+    baked in as compile-time constants."""
+    dx0, dy0 = polar_offsets(sensor)
+    dx0 = jnp.asarray(dx0)
+    dy0 = jnp.asarray(dy0)
+
+    def render(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        xs = xy[0] + c * dx0 - s * dy0
+        ys = xy[1] + s * dx0 + c * dy0
+        return bilinear_sample(landscape, xs, ys)
+
+    return render
+
+
+def make_candidate_views(sensor: SensorConfig, shifts: np.ndarray):
+    """Build ``views(pano f32[R, A]) -> f32[Ns, P]``: the pooled sensor view at
+    every shift in ``shifts`` (fine bins), flattened to P = R*W pixels.
+
+    Equivalent (tested) to re-rendering at each candidate heading; SEMANTICS.md
+    §3 "rotation = cyclic shift".
+    """
+    col_idx = jnp.asarray(candidate_col_index(sensor, np.asarray(shifts)))
+    r, w, u = sensor.n_radial, sensor.n_azimuth, sensor.az_upsample
+    ns = len(shifts)
+
+    def views(pano: jnp.ndarray) -> jnp.ndarray:
+        g = pano[:, col_idx]  # [R, Ns, W*u]
+        v = g.reshape(r, ns, w, u).mean(axis=3)  # [R, Ns, W]
+        return jnp.transpose(v, (1, 0, 2)).reshape(ns, r * w)
+
+    return views
+
+
+def make_render_view(sensor: SensorConfig):
+    """Per-heading reference path: one pooled view at the pose's own heading
+    (shift 0). Cold path — used for training capture and parity tests."""
+    render = make_render_panorama(sensor)
+    views = make_candidate_views(sensor, np.zeros(1, dtype=np.int64))
+
+    def render_view(landscape, xy, theta):
+        return views(render(landscape, xy, theta))[0].reshape(
+            sensor.n_radial, sensor.n_azimuth
+        )
+
+    return render_view
+
+
+def scan_shift_sets(scan: ScanConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(shifts[Nh], extended[Nh*(2t+1)]) — extended enumerates s_k + delta for
+    the RIDF tolerance window (SEMANTICS.md §4); with tol_bins=0 it's shifts."""
+    shifts = np.asarray(scan.shifts(), dtype=np.int64)
+    deltas = np.arange(-scan.tol_bins, scan.tol_bins + 1, dtype=np.int64)
+    extended = (shifts[:, None] + deltas[None, :]).reshape(-1)
+    return shifts, extended

@@ -1,0 +1,73 @@
+"""L1 parity: JAX renderer == NumPy oracle (SURVEY.md §4.4 cross-impl oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navdv_tpu import oracle
+from navdv_tpu.sensor import (
+    bilinear_sample,
+    make_candidate_views,
+    make_render_panorama,
+    make_render_view,
+    scan_shift_sets,
+)
+
+
+def test_bilinear_matches_oracle(small_world, rng):
+    landscape, _ = small_world
+    xs = rng.uniform(-2, 130, size=(50,))  # includes out-of-bounds clamping
+    ys = rng.uniform(-2, 130, size=(50,))
+    got = bilinear_sample(jnp.asarray(landscape), jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32))
+    want = oracle.bilinear(landscape.astype(np.float64), xs, ys)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_panorama_matches_oracle(small_cfg, small_world):
+    landscape, _ = small_world
+    render = make_render_panorama(small_cfg.sensor)
+    for (x, y, th) in [(60.0, 64.0, 0.0), (40.0, 50.0, 2.1), (80.0, 70.0, -1.3)]:
+        got = render(jnp.asarray(landscape), jnp.asarray([x, y], jnp.float32), jnp.float32(th))
+        want = oracle.render_panorama(landscape, x, y, th, small_cfg)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_candidate_views_match_per_heading_render(small_cfg, small_world):
+    """The roll+pool candidate stack equals re-rendering at each heading
+    (SEMANTICS.md §3 rotation=shift, on the JAX path)."""
+    landscape, _ = small_world
+    s = small_cfg.sensor
+    shifts, extended = scan_shift_sets(small_cfg.scan)
+    render = make_render_panorama(s)
+    views = make_candidate_views(s, extended)
+    render_view = make_render_view(s)
+    xy = jnp.asarray([60.0, 64.0], jnp.float32)
+    th = 0.9
+    cand = views(render(jnp.asarray(landscape), xy, jnp.float32(th)))
+    for row, shift in enumerate(extended):
+        direct = render_view(
+            jnp.asarray(landscape), xy, jnp.float32(th + shift * s.bin_width)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cand[row]).reshape(s.n_radial, s.n_azimuth),
+            np.asarray(direct),
+            atol=2e-4,
+        )
+
+
+def test_render_view_matches_oracle(small_cfg, small_world):
+    landscape, _ = small_world
+    render_view = make_render_view(small_cfg.sensor)
+    got = render_view(
+        jnp.asarray(landscape), jnp.asarray([55.0, 60.0], jnp.float32), jnp.float32(1.234)
+    )
+    want = oracle.render_view(landscape, 55.0, 60.0, 1.234, small_cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_render_is_jittable(small_cfg, small_world):
+    landscape, _ = small_world
+    render = jax.jit(make_render_panorama(small_cfg.sensor))
+    out = render(jnp.asarray(landscape), jnp.asarray([60.0, 64.0], jnp.float32), jnp.float32(0.5))
+    assert out.shape == (small_cfg.sensor.n_radial, small_cfg.sensor.n_fine)
+    assert np.isfinite(np.asarray(out)).all()
