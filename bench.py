@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): agent-steps/sec/chip (render + familiarity) at
+matched route-recall accuracy, target >= 1e5 on TPU v5e-1. The run reports the
+recall success rate alongside throughput (the accuracy gate, BASELINE.md);
+steps are counted as B * max_steps scan iterations actually executed on
+device.
+
+Usage: python bench.py [--config N] [--batch B] [--steps T] [--impl jnp|pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(config_n: int = 1, batch: int = 1024, steps: int = 256,
+              impl: str = "default", repeats: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import navdv_tpu as nav
+    from navdv_tpu import oracle
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.config import baseline_config
+    from navdv_tpu.metrics import success_rate
+
+    if impl == "default":
+        impl = "pallas" if _has_pallas() else "jnp"
+
+    cfg = baseline_config(config_n)
+    cfg = nav.SimConfig(
+        sensor=cfg.sensor,
+        scan=cfg.scan,
+        agent=nav.AgentConfig(
+            step_size=cfg.agent.step_size,
+            goal_radius=cfg.agent.goal_radius,
+            corridor=cfg.agent.corridor,
+            max_steps=steps,
+        ),
+        capture_spacing=cfg.capture_spacing,
+    )
+
+    landscape = jnp.asarray(
+        nav.make_landscape("blobs", size=(512, 512), seed=7, n_features=150)
+    )
+    route = nav.make_route("sine", size=(512, 512), margin=60.0, length=200.0,
+                           amplitude=25.0)
+    lib = nav.train_library(landscape, route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+
+    rng = np.random.default_rng(0)
+    starts = pts[0][None, :] + rng.normal(0, 1.5, size=(batch, 2))
+    thetas = headings[0] + rng.normal(0, 0.15, size=(batch,))
+    states0 = init_state(starts, thetas)
+
+    nav_fn = make_navigate_batch(cfg, fam_impl=impl)
+    # warmup + compile
+    final, rec = jax.block_until_ready(nav_fn(states0, st))
+    rate = float(success_rate(final))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(nav_fn(states0, st))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    agent_steps = batch * cfg.agent.max_steps
+    return {
+        "metric": "agent-steps/sec/chip",
+        "value": round(agent_steps / dt, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(agent_steps / dt / 1e5, 3),
+        "config": config_n,
+        "batch": batch,
+        "max_steps": cfg.agent.max_steps,
+        "library_views": int(lib.views.shape[0]),
+        "success_rate": round(rate, 4),
+        "impl": impl,
+        "device": str(jax.devices()[0].platform),
+        "wall_s": round(dt, 4),
+    }
+
+
+def _has_pallas() -> bool:
+    try:
+        from navdv_tpu.ops.familiarity_pallas import make_familiarity_pallas  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--impl", default="default")
+    args = ap.parse_args()
+    result = run_bench(args.config, args.batch, args.steps, args.impl)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -95,8 +95,13 @@ def point_to_polyline_dist(p, st: EpisodeStatics) -> jnp.ndarray:
     return jnp.sqrt(jnp.min(jnp.sum((p[None, :] - proj) ** 2, axis=1)))
 
 
-def make_step(cfg: SimConfig, fam_impl: str = "jnp"):
-    """Build the pure step fn ``(AgentState, EpisodeStatics) -> (state', StepRecord)``."""
+def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None):
+    """Build the pure step fn ``(AgentState, EpisodeStatics) -> (state', StepRecord)``.
+
+    ``lib_axis``: mesh axis name the library is sharded over (inside
+    shard_map); per-shard familiarity partial minima are ``lax.pmin``-ed
+    across it — the system's one collective (SURVEY.md §2.3/§5.8).
+    """
     sensor, scan, ag = cfg.sensor, cfg.scan, cfg.agent
     shifts, extended = scan_shift_sets(scan)
     render = make_render_panorama(sensor)
@@ -115,7 +120,9 @@ def make_step(cfg: SimConfig, fam_impl: str = "jnp"):
     def step(state: AgentState, st: EpisodeStatics):
         pano = render(st.landscape, state.xy, state.theta)
         cand = views_ext(pano)  # [Ne, P]
-        fam = fam_fn(cand, st.lib)  # [Nh]
+        fam = fam_fn(cand, st.lib)  # [Nh] (per library shard if sharded)
+        if lib_axis is not None:
+            fam = jax.lax.pmin(fam, lib_axis)
         k = jnp.argmin(fam)  # ties -> lowest index
         theta_new = state.theta + shifts_dev[k] * binw
         xy_new = state.xy + ag.step_size * jnp.stack(

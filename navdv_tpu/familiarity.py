@@ -21,6 +21,9 @@ from navdv_tpu.config import ScanConfig, SensorConfig
 NCC_EPS = 1e-8
 
 
+PAD_PENALTY = 1e30  # added to padded library columns; they never win the min
+
+
 class LibraryPack(NamedTuple):
     """Device-resident training library, preprocessed per metric.
 
@@ -28,12 +31,16 @@ class LibraryPack(NamedTuple):
     flat:  f32[Nl, P]    flattened views (SSD path)
     sq:    f32[Nl]       per-view squared norms (SSD path)
     z:     f32[Nl, P]    z-scored views (NCC path)
+    valid: f32[Nl]       1.0 = real view, 0.0 = shape-padding sentinel
+                         (library sharding / sweep shape-bucketing pad Nl;
+                         invalid columns get +PAD_PENALTY distance)
     """
 
     views: jnp.ndarray
     flat: jnp.ndarray
     sq: jnp.ndarray
     z: jnp.ndarray
+    valid: jnp.ndarray
 
 
 def zscore(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -50,7 +57,12 @@ def pack_library(views: jnp.ndarray) -> LibraryPack:
         flat=flat,
         sq=jnp.sum(flat * flat, axis=1),
         z=zscore(flat),
+        valid=jnp.ones(views.shape[0], dtype=jnp.float32),
     )
+
+
+def _pad_penalty(lib: LibraryPack) -> jnp.ndarray:
+    return (1.0 - lib.valid)[None, :] * PAD_PENALTY
 
 
 def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
@@ -59,14 +71,15 @@ def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
     # HIGHEST: fp32 MXU passes — the decomposition cancels catastrophically in bf16
     cross = jnp.dot(cand, lib.flat.T, precision=jax.lax.Precision.HIGHEST)  # [Ns, Nl]
     d = cand_sq[:, None] + lib.sq[None, :] - 2.0 * cross
-    return jnp.maximum(d, 0.0)  # clamp fp cancellation noise
+    return jnp.maximum(d, 0.0) + _pad_penalty(lib)  # clamp fp cancellation noise
 
 
 def ncc_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
     """d[s, v] = 1 - mean(z(cand_s) * z(lib_v)) (SEMANTICS.md §4)."""
     p = cand.shape[1]
     zc = zscore(cand)
-    return 1.0 - jnp.dot(zc, lib.z.T, precision=jax.lax.Precision.HIGHEST) / p
+    d = 1.0 - jnp.dot(zc, lib.z.T, precision=jax.lax.Precision.HIGHEST) / p
+    return d + _pad_penalty(lib)
 
 
 def distance_matrix(cand: jnp.ndarray, lib: LibraryPack, metric: str) -> jnp.ndarray:

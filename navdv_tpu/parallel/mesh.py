@@ -1,0 +1,149 @@
+"""Multi-chip parallelism (SURVEY.md §2.3, §5.7–5.8).
+
+Domain-mapped parallelism inventory:
+  - data parallel  -> agents/trials sharded over the ``data`` mesh axis
+    (embarrassingly parallel; no collectives);
+  - tensor-parallel analogue -> the view LIBRARY axis sharded over the
+    ``lib`` mesh axis; the only real collective in the system is the
+    ``lax.pmin`` of per-heading familiarity partial minima across library
+    shards (rides ICI);
+  - pipeline/sequence/expert parallel -> absent in this domain (the per-step
+    pose feedback is inherently sequential; handled by lax.scan).
+
+All sharding is expressed with ``jax.sharding.Mesh`` + ``shard_map``; XLA
+inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from navdv_tpu.agent import AgentState, EpisodeStatics, StepRecord, make_step
+from navdv_tpu.config import SimConfig
+from navdv_tpu.familiarity import LibraryPack
+
+DATA_AXIS = "data"
+LIB_AXIS = "lib"
+
+
+def make_mesh(n_data: int, n_lib: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_data * n_lib, (devices.size, n_data, n_lib)
+    return Mesh(
+        devices[: n_data * n_lib].reshape(n_data, n_lib), (DATA_AXIS, LIB_AXIS)
+    )
+
+
+def pad_library(lib: LibraryPack, multiple: int) -> LibraryPack:
+    """Pad Nl up to a multiple with zero views marked invalid; the familiarity
+    kernels add +PAD_PENALTY to invalid columns so they never win the min
+    (also used for sweep shape-bucketing, SURVEY.md §7 hard-part 3)."""
+    nl = lib.views.shape[0]
+    rem = (-nl) % multiple
+    if rem == 0:
+        return lib
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((rem,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    return LibraryPack(
+        views=pad(lib.views),
+        flat=pad(lib.flat),
+        sq=pad(lib.sq),
+        z=pad(lib.z),
+        valid=pad(lib.valid, 0.0),
+    )
+
+
+def _lib_specs() -> LibraryPack:
+    return LibraryPack(
+        views=P(LIB_AXIS, None, None),
+        flat=P(LIB_AXIS, None),
+        sq=P(LIB_AXIS),
+        z=P(LIB_AXIS, None),
+        valid=P(LIB_AXIS),
+    )
+
+
+def _statics_specs(shard_lib: bool) -> EpisodeStatics:
+    lib = _lib_specs() if shard_lib else jax.tree.map(lambda _: P(), _lib_specs())
+    return EpisodeStatics(
+        landscape=P(None, None),
+        lib=lib,
+        route_a=P(None, None),
+        route_ab=P(None, None),
+        route_denom=P(None),
+        goal=P(None),
+    )
+
+
+def _state_specs() -> AgentState:
+    return AgentState(
+        xy=P(DATA_AXIS, None), theta=P(DATA_AXIS), done=P(DATA_AXIS), status=P(DATA_AXIS)
+    )
+
+
+def _record_specs() -> StepRecord:
+    t = P(DATA_AXIS, None)
+    return StepRecord(
+        xy=P(DATA_AXIS, None, None), theta=t, fam=t, k=t, dist_route=t, done=t
+    )
+
+
+def shard_statics(st: EpisodeStatics, mesh: Mesh, shard_lib: bool = True) -> EpisodeStatics:
+    """Place statics on the mesh: library sharded over LIB_AXIS (padded to a
+    multiple of its size), everything else replicated."""
+    rep = NamedSharding(mesh, P())
+    if shard_lib:
+        lib = pad_library(st.lib, mesh.shape[LIB_AXIS])
+        lib = LibraryPack(
+            *(
+                jax.device_put(x, NamedSharding(mesh, spec))
+                for x, spec in zip(lib, _lib_specs())
+            )
+        )
+    else:
+        lib = jax.tree.map(lambda x: jax.device_put(x, rep), st.lib)
+    return EpisodeStatics(
+        landscape=jax.device_put(st.landscape, rep),
+        lib=lib,
+        route_a=jax.device_put(st.route_a, rep),
+        route_ab=jax.device_put(st.route_ab, rep),
+        route_denom=jax.device_put(st.route_denom, rep),
+        goal=jax.device_put(st.goal, rep),
+    )
+
+
+def make_navigate_sharded(
+    cfg: SimConfig, mesh: Mesh, fam_impl: str = "jnp", shard_lib: bool = True
+):
+    """Jitted batched episode over the mesh.
+
+    Agents are sharded over DATA_AXIS (pure DP). With ``shard_lib`` the
+    library is sharded over LIB_AXIS and per-shard familiarity minima are
+    ``lax.pmin``-ed inside every step. Batch B must divide mesh.shape[data];
+    statics must come from :func:`shard_statics`.
+    """
+    lib_axis = LIB_AXIS if shard_lib and mesh.shape[LIB_AXIS] > 1 else None
+    step_local = make_step(cfg, fam_impl=fam_impl, lib_axis=lib_axis)
+
+    def episode(state0: AgentState, st: EpisodeStatics):
+        return jax.lax.scan(
+            lambda s, _: step_local(s, st), state0, None, length=cfg.agent.max_steps
+        )
+
+    batched = jax.vmap(episode, in_axes=(0, None))
+    sharded = shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(_state_specs(), _statics_specs(shard_lib=lib_axis is not None)),
+        out_specs=(_state_specs(), _record_specs()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

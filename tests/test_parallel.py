@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY.md §4.5):
+library-sharded pmin reduction and data-parallel agents must match the
+single-device path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navdv_tpu import oracle
+from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+from navdv_tpu.parallel.mesh import (
+    make_mesh,
+    make_navigate_sharded,
+    pad_library,
+    shard_statics,
+)
+from navdv_tpu.training import train_library
+
+
+@pytest.fixture(scope="module")
+def world(request):
+    cfg = request.getfixturevalue("small_cfg")
+    landscape, route = request.getfixturevalue("small_world")
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(1)
+    b = 8
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.1, size=(b,))
+    states0 = init_state(
+        jnp.asarray(starts, jnp.float32), jnp.asarray(thetas, jnp.float32)
+    )
+    return cfg, st, states0
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
+
+
+def test_pad_library_never_wins(world):
+    cfg, st, _ = world
+    from navdv_tpu.familiarity import distance_matrix
+
+    lib4 = pad_library(st.lib, 4)
+    nl = st.lib.views.shape[0]
+    assert lib4.views.shape[0] % 4 == 0
+    cand = st.lib.flat[:3]  # real views as candidates
+    d = np.asarray(distance_matrix(cand, lib4, "ssd"))
+    assert (d[:, nl:] > 1e20).all()  # padded columns carry the penalty
+    np.testing.assert_allclose(
+        d[:, :nl], np.asarray(distance_matrix(cand, st.lib, "ssd")), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n_data,n_lib", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_device(world, n_data, n_lib):
+    """DP x library-sharding grid: identical trajectories to the unsharded run."""
+    cfg, st, states0 = world
+    want_final, want_rec = make_navigate_batch(cfg)(states0, st)
+
+    mesh = make_mesh(n_data, n_lib)
+    st_sharded = shard_statics(st, mesh, shard_lib=n_lib > 1)
+    nav = make_navigate_sharded(cfg, mesh, shard_lib=n_lib > 1)
+    got_final, got_rec = nav(states0, st_sharded)
+
+    np.testing.assert_array_equal(np.asarray(got_rec.k), np.asarray(want_rec.k))
+    np.testing.assert_allclose(
+        np.asarray(got_rec.xy), np.asarray(want_rec.xy), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.status), np.asarray(want_final.status)
+    )
