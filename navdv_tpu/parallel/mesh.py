@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from navdv_tpu.agent import AgentState, EpisodeStatics, StepRecord, make_step
 from navdv_tpu.config import SimConfig
@@ -144,6 +144,6 @@ def make_navigate_sharded(
         mesh=mesh,
         in_specs=(_state_specs(), _statics_specs(shard_lib=lib_axis is not None)),
         out_specs=(_state_specs(), _record_specs()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -65,6 +65,21 @@ def test_render_view_matches_oracle(small_cfg, small_world):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+def test_window_renderer_matches_gather_renderer(small_cfg, small_world, rng):
+    """Production window+matmul renderer == gather reference renderer,
+    including near landscape edges (clamp semantics)."""
+    from navdv_tpu.sensor import make_render_panorama_gather
+
+    landscape, _ = small_world
+    fast = make_render_panorama(small_cfg.sensor)
+    slow = make_render_panorama_gather(small_cfg.sensor)
+    poses = [(60.0, 64.0, 0.7), (3.0, 64.0, 2.0), (126.0, 126.0, -0.4), (0.5, 0.5, 1.0)]
+    for x, y, th in poses:
+        a = fast(jnp.asarray(landscape), jnp.asarray([x, y], jnp.float32), jnp.float32(th))
+        b = slow(jnp.asarray(landscape), jnp.asarray([x, y], jnp.float32), jnp.float32(th))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_render_is_jittable(small_cfg, small_world):
     landscape, _ = small_world
     render = jax.jit(make_render_panorama(small_cfg.sensor))
