@@ -2,8 +2,10 @@
 
 SURVEY.md §3.3–3.4 rebuild: the whole episode is ONE ``lax.scan`` with
 done-masking — no host syncs inside an episode; the per-step argmin feedback
-stays on-device. ``vmap`` over agents gives the batched-trials config
-(BASELINE config 4).
+stays on-device. The production step is *natively batched* over agents
+(BASELINE config 4): render/views vmap per agent, the familiarity reduction
+runs as one fused batched op (jnp reference or the Pallas kernel in
+:mod:`navdv_tpu.ops.familiarity_pallas`).
 
 Status codes: 0 = running/budget, 1 = reached, 2 = diverged, 3 = off-landscape.
 """
@@ -31,14 +33,14 @@ STATUS_OFF = 3
 
 
 class AgentState(NamedTuple):
-    xy: jnp.ndarray  # f32[2]
-    theta: jnp.ndarray  # f32[]
-    done: jnp.ndarray  # bool[]
-    status: jnp.ndarray  # i32[]
+    xy: jnp.ndarray  # f32[2] or f32[B, 2]
+    theta: jnp.ndarray  # f32[] or f32[B]
+    done: jnp.ndarray  # bool
+    status: jnp.ndarray  # i32
 
 
 class EpisodeStatics(NamedTuple):
-    """Device-resident per-episode constants (broadcast across vmapped agents)."""
+    """Device-resident per-episode constants (broadcast across agents)."""
 
     landscape: jnp.ndarray  # f32[Hl, Wl]
     lib: LibraryPack
@@ -95,35 +97,18 @@ def point_to_polyline_dist(p, st: EpisodeStatics) -> jnp.ndarray:
     return jnp.sqrt(jnp.min(jnp.sum((p[None, :] - proj) ** 2, axis=1)))
 
 
-def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None):
-    """Build the pure step fn ``(AgentState, EpisodeStatics) -> (state', StepRecord)``.
+def _make_decide(cfg: SimConfig):
+    """Shared post-familiarity logic: argmin -> kinematics -> stop conditions.
 
-    ``lib_axis``: mesh axis name the library is sharded over (inside
-    shard_map); per-shard familiarity partial minima are ``lax.pmin``-ed
-    across it — the system's one collective (SURVEY.md §2.3/§5.8).
+    Per-agent; vmapped by the batched step. Returns (state', StepRecord).
     """
-    sensor, scan, ag = cfg.sensor, cfg.scan, cfg.agent
-    shifts, extended = scan_shift_sets(scan)
-    render = make_render_panorama(sensor)
-    views_ext = make_candidate_views(sensor, extended)
-    if fam_impl == "jnp":
-        fam_fn = make_familiarity_jnp(sensor, scan)
-    elif fam_impl == "pallas":
-        from navdv_tpu.ops.familiarity_pallas import make_familiarity_pallas
-
-        fam_fn = make_familiarity_pallas(sensor, scan)
-    else:
-        raise ValueError(fam_impl)
+    sensor, ag = cfg.sensor, cfg.agent
+    shifts, _ = scan_shift_sets(cfg.scan)
     shifts_dev = jnp.asarray(shifts, dtype=jnp.float32)
     binw = sensor.bin_width
 
-    def step(state: AgentState, st: EpisodeStatics):
-        pano = render(st.landscape, state.xy, state.theta)
-        cand = views_ext(pano)  # [Ne, P]
-        fam = fam_fn(cand, st.lib)  # [Nh] (per library shard if sharded)
-        if lib_axis is not None:
-            fam = jax.lax.pmin(fam, lib_axis)
-        k = jnp.argmin(fam)  # ties -> lowest index
+    def decide(state: AgentState, fam: jnp.ndarray, st: EpisodeStatics):
+        k = jnp.argmin(fam)  # ties -> lowest index (SEMANTICS.md §5)
         theta_new = state.theta + shifts_dev[k] * binw
         xy_new = state.xy + ag.step_size * jnp.stack(
             [jnp.cos(theta_new), jnp.sin(theta_new)]
@@ -144,7 +129,9 @@ def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
         new_status = jnp.where(
             reached,
             STATUS_REACHED,
-            jnp.where(diverged, STATUS_DIVERGED, jnp.where(off, STATUS_OFF, STATUS_RUNNING)),
+            jnp.where(
+                diverged, STATUS_DIVERGED, jnp.where(off, STATUS_OFF, STATUS_RUNNING)
+            ),
         ).astype(jnp.int32)
 
         was_done = state.done
@@ -164,11 +151,69 @@ def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
         )
         return out, rec
 
+    return decide
+
+
+def _make_fam_batch(cfg: SimConfig, fam_impl: str, lib_axis: str | None):
+    """Batched familiarity: (cand_ext f32[B, Ne, P], lib) -> fam f32[B, Nh]."""
+    if fam_impl == "jnp":
+        fam1 = make_familiarity_jnp(cfg.sensor, cfg.scan)
+        fam_b = jax.vmap(fam1, in_axes=(0, None))
+    elif fam_impl == "pallas":
+        from navdv_tpu.ops.familiarity_pallas import make_familiarity_batched_pallas
+
+        fam_b = make_familiarity_batched_pallas(cfg.sensor, cfg.scan)
+    else:
+        raise ValueError(f"unknown fam_impl {fam_impl!r}")
+
+    if lib_axis is None:
+        return fam_b
+
+    def fam_sharded(cand, lib):
+        # per-library-shard partial minima -> pmin across shards: the system's
+        # one collective (SURVEY.md §2.3/§5.8)
+        return jax.lax.pmin(fam_b(cand, lib), lib_axis)
+
+    return fam_sharded
+
+
+def make_step_batched(
+    cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
+):
+    """Production batched step: ``(AgentState[B], EpisodeStatics) -> (AgentState[B], StepRecord[B])``."""
+    shifts, extended = scan_shift_sets(cfg.scan)
+    render = make_render_panorama(cfg.sensor)
+    views_ext = make_candidate_views(cfg.sensor, extended)
+    fam_b = _make_fam_batch(cfg, fam_impl, lib_axis)
+    decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
+
+    render_b = jax.vmap(render, in_axes=(None, 0, 0))
+    views_b = jax.vmap(views_ext)
+
+    def step(states: AgentState, st: EpisodeStatics):
+        pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
+        cand = views_b(pano)  # [B, Ne, P]
+        fam = fam_b(cand, st.lib)  # [B, Nh]
+        return decide(states, fam, st)
+
     return step
 
 
-def make_navigate(cfg: SimConfig, fam_impl: str = "jnp", donate: bool = False):
-    """Build jitted ``navigate(state0, statics) -> (final_state, StepRecord[T])``."""
+def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None):
+    """Single-agent step ``(AgentState, EpisodeStatics) -> (state', StepRecord)``
+    (parity tests / debugging; the production path is make_step_batched)."""
+    batched = make_step_batched(cfg, fam_impl, lib_axis)
+
+    def step(state: AgentState, st: EpisodeStatics):
+        states = jax.tree.map(lambda x: x[None], state)
+        out, rec = batched(states, st)
+        return jax.tree.map(lambda x: x[0], out), jax.tree.map(lambda x: x[0], rec)
+
+    return step
+
+
+def make_navigate(cfg: SimConfig, fam_impl: str = "jnp"):
+    """Jitted single episode ``(state0, statics) -> (final_state, StepRecord[T])``."""
     step = make_step(cfg, fam_impl)
 
     def navigate(state0: AgentState, st: EpisodeStatics):
@@ -179,20 +224,29 @@ def make_navigate(cfg: SimConfig, fam_impl: str = "jnp", donate: bool = False):
     return jax.jit(navigate)
 
 
-def make_navigate_batch(cfg: SimConfig, fam_impl: str = "jnp"):
-    """Batched trials (BASELINE config 4): vmap the whole episode over agents.
+def make_navigate_batch_fn(
+    cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
+):
+    """Unjitted batched episode fn (parallel/mesh.py wraps it in shard_map).
 
-    Returns jitted ``(states0 AgentState[B], statics) -> (final[B], StepRecord[B, T])``.
+    ``(AgentState[B], statics) -> (final[B], StepRecord[B, T])``; record layout
+    is batch-leading (transposed from scan's time-leading order).
     """
-    step = make_step(cfg, fam_impl)
+    step = make_step_batched(cfg, fam_impl, lib_axis)
 
-    def navigate(state0: AgentState, st: EpisodeStatics):
-        return jax.lax.scan(
-            lambda s, _: step(s, st), state0, None, length=cfg.agent.max_steps
+    def navigate(states0: AgentState, st: EpisodeStatics):
+        final, recs = jax.lax.scan(
+            lambda s, _: step(s, st), states0, None, length=cfg.agent.max_steps
         )
+        recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
+        return final, recs
 
-    batched = jax.vmap(navigate, in_axes=(0, None))
-    return jax.jit(batched)
+    return navigate
+
+
+def make_navigate_batch(cfg: SimConfig, fam_impl: str = "jnp"):
+    """Batched trials (BASELINE config 4): jitted whole episodes for B agents."""
+    return jax.jit(make_navigate_batch_fn(cfg, fam_impl))
 
 
 def navigate(landscape, lib: LibraryPack, route, start_xy, start_theta, cfg: SimConfig,

@@ -22,7 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from navdv_tpu.agent import AgentState, EpisodeStatics, StepRecord, make_step
+from navdv_tpu.agent import (
+    AgentState,
+    EpisodeStatics,
+    StepRecord,
+    make_navigate_batch_fn,
+)
 from navdv_tpu.config import SimConfig
 from navdv_tpu.familiarity import LibraryPack
 
@@ -131,16 +136,9 @@ def make_navigate_sharded(
     statics must come from :func:`shard_statics`.
     """
     lib_axis = LIB_AXIS if shard_lib and mesh.shape[LIB_AXIS] > 1 else None
-    step_local = make_step(cfg, fam_impl=fam_impl, lib_axis=lib_axis)
-
-    def episode(state0: AgentState, st: EpisodeStatics):
-        return jax.lax.scan(
-            lambda s, _: step_local(s, st), state0, None, length=cfg.agent.max_steps
-        )
-
-    batched = jax.vmap(episode, in_axes=(0, None))
+    navigate_local = make_navigate_batch_fn(cfg, fam_impl=fam_impl, lib_axis=lib_axis)
     sharded = shard_map(
-        batched,
+        navigate_local,
         mesh=mesh,
         in_specs=(_state_specs(), _statics_specs(shard_lib=lib_axis is not None)),
         out_specs=(_state_specs(), _record_specs()),
