@@ -19,12 +19,21 @@ from navdv_tpu.config import (
     ScanConfig,
     SensorConfig,
     SimConfig,
+    baseline_config,
 )
 from navdv_tpu.landscape import make_landscape
 from navdv_tpu.routes import make_route
 from navdv_tpu.training import train_library
-from navdv_tpu.agent import init_state, navigate, step
-from navdv_tpu.metrics import episode_metrics
+from navdv_tpu.agent import (
+    init_state,
+    make_navigate,
+    make_navigate_batch,
+    make_statics,
+    navigate,
+    step,
+)
+from navdv_tpu.metrics import episode_metrics, success_rate
+from navdv_tpu.trials import make_trials
 
 __version__ = "0.1.0"
 
@@ -33,11 +42,17 @@ __all__ = [
     "ScanConfig",
     "SensorConfig",
     "SimConfig",
+    "baseline_config",
     "make_landscape",
     "make_route",
     "train_library",
     "init_state",
+    "make_navigate",
+    "make_navigate_batch",
+    "make_statics",
+    "make_trials",
     "navigate",
     "step",
     "episode_metrics",
+    "success_rate",
 ]

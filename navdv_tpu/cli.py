@@ -1,0 +1,136 @@
+"""Command-line interface: ``python -m navdv_tpu.cli <command>``.
+
+Commands:
+  demo   train on a route and run batched recall, writing plots (+ movie)
+  bench  the throughput harness (same as repo-root bench.py)
+  sweep  run the BASELINE config-5 parameter grid with on-disk resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _add_world_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--landscape", default="blobs", choices=["blobs", "noise", "checker", "flat"])
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--route", default="sine", choices=["line", "sine"])
+    p.add_argument("--route-length", type=float, default=200.0)
+    p.add_argument("--impl", default="jnp", choices=["jnp", "pallas"])
+
+
+def cmd_demo(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import navdv_tpu as nav
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.config import baseline_config
+    from navdv_tpu.metrics import episode_metrics, success_rate
+    from navdv_tpu.trials import make_trials
+    from navdv_tpu import viz
+
+    import dataclasses
+
+    import numpy as np
+
+    cfg = baseline_config(args.config)
+    size = (args.size, args.size)
+    landscape = nav.make_landscape(args.landscape, size=size, seed=args.seed)
+    route = nav.make_route(args.route, size=size, margin=60.0, length=args.route_length)
+    steps = args.steps or int(
+        np.hypot(*np.diff(route, axis=0).T).sum() / cfg.agent.step_size * 1.3
+    )
+    cfg = dataclasses.replace(
+        cfg, agent=dataclasses.replace(cfg.agent, max_steps=steps)
+    )
+    land_dev = jnp.asarray(landscape)
+    lib = nav.train_library(land_dev, route, cfg)
+    st = make_statics(land_dev, lib, route)
+    starts, thetas = make_trials(route, cfg, args.trials, seed=args.seed)
+    final, rec = jax.block_until_ready(
+        make_navigate_batch(cfg, fam_impl=args.impl)(init_state(starts, thetas), st)
+    )
+    rate = float(success_rate(final))
+    print(f"library: {lib.views.shape[0]} views | trials: {args.trials} | "
+          f"success_rate: {rate:.3f}")
+    os.makedirs(args.out, exist_ok=True)
+    print("wrote", viz.plot_trajectory(landscape, route, rec, os.path.join(args.out, "trajectories.png")))
+    print("wrote", viz.plot_familiarity_trace(rec, os.path.join(args.out, "familiarity.png")))
+    if args.movie:
+        one = jax.tree.map(lambda x: x[0], rec)
+        print("wrote", viz.animate_episode(landscape, route, one, os.path.join(args.out, "episode.mp4")))
+    m = episode_metrics(final, rec)
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(
+            {
+                "success_rate": rate,
+                "mean_steps": float(jnp.mean(m["n_steps"].astype(jnp.float32))),
+                "mean_path_error": float(jnp.mean(m["mean_path_error"])),
+            },
+            f,
+            indent=2,
+        )
+
+
+def cmd_bench(args) -> None:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import run_bench
+
+    print(json.dumps(run_bench(args.config, args.batch, args.steps, args.impl)))
+
+
+def cmd_sweep(args) -> None:
+    import navdv_tpu as nav
+    from navdv_tpu.sweep import SweepSpec, run_sweep
+    from navdv_tpu import viz
+
+    size = (args.size, args.size)
+    landscape = nav.make_landscape(args.landscape, size=size, seed=args.seed)
+    route = nav.make_route(args.route, size=size, margin=60.0, length=args.route_length)
+    spec = SweepSpec(n_trials=args.trials, max_steps=args.steps, seed=args.seed)
+    results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl)
+    viz.plot_sweep_heatmap(
+        results, "scan", "px", os.path.join(args.out, "success_heatmap.png")
+    )
+    print(f"sweep complete: {len(results)} cells -> {args.out}/summary.json")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="navdv_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="train + batched recall + plots")
+    _add_world_args(d)
+    d.add_argument("--config", type=int, default=1)
+    d.add_argument("--steps", type=int, default=None, help="override max_steps")
+    d.add_argument("--trials", type=int, default=256)
+    d.add_argument("--movie", action="store_true")
+    d.add_argument("--out", default="out/demo")
+    d.set_defaults(fn=cmd_demo)
+
+    b = sub.add_parser("bench", help="throughput harness")
+    b.add_argument("--config", type=int, default=1)
+    b.add_argument("--batch", type=int, default=1024)
+    b.add_argument("--steps", type=int, default=256)
+    b.add_argument("--impl", default="default")
+    b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("sweep", help="BASELINE config-5 grid with resume")
+    _add_world_args(s)
+    s.add_argument("--trials", type=int, default=256)
+    s.add_argument("--steps", type=int, default=256)
+    s.add_argument("--out", default="out/sweep")
+    s.set_defaults(fn=cmd_sweep)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,7 @@ class AgentConfig:
     step_size: float = 1.0
     goal_radius: float = 2.0
     corridor: float = 20.0
-    max_steps: int = 128
+    max_steps: int = 256  # must cover the route length in steps
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,136 @@
+"""L4: parameter sweeps (BASELINE config 5: grid over sensor resolution x scan
+granularity x library size, thousands of episodes per cell).
+
+SURVEY.md §3.5 rebuild notes:
+  - each grid cell changes array shapes -> one XLA compilation per cell
+    (shape-bucketing via pad_library can merge library-size cells);
+  - trials *within* a cell are vmapped (one device launch per cell);
+  - across chips, cells run through the data-parallel mesh path;
+  - per-cell results land on disk atomically -> preemption-safe resume at
+    cell granularity (SURVEY.md §5.3–5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+from navdv_tpu.checkpoint import load_results, save_results
+from navdv_tpu.config import AgentConfig, ScanConfig, SensorConfig, SimConfig
+from navdv_tpu.metrics import episode_metrics
+from navdv_tpu.trials import make_trials
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepSpec:
+    """The BASELINE config-5 grid. Each axis is a tuple of values; the sweep
+    is their cartesian product."""
+
+    # sensor resolution axis: (n_azimuth, n_radial, az_upsample)
+    sensor_px: tuple = ((72, 16, 5), (36, 8, 10))
+    # scan granularity axis: (n_headings, scan_step_bins)
+    scan_granularity: tuple = ((60, 2), (120, 1))
+    # library density axis: capture spacing in world units (smaller = denser)
+    capture_spacing: tuple = (1.0, 2.0)
+    metric: str = "ssd"
+    tol_bins: int = 0
+    n_trials: int = 256
+    max_steps: int = 256
+    seed: int = 0
+
+    def cells(self):
+        for (px, gran, spacing) in itertools.product(
+            self.sensor_px, self.scan_granularity, self.capture_spacing
+        ):
+            w, r, u = px
+            nh, step_bins = gran
+            cfg = SimConfig(
+                sensor=SensorConfig(n_azimuth=w, n_radial=r, az_upsample=u),
+                scan=ScanConfig(
+                    n_headings=nh,
+                    scan_step_bins=step_bins,
+                    metric=self.metric,
+                    tol_bins=self.tol_bins,
+                ),
+                agent=AgentConfig(max_steps=self.max_steps),
+                capture_spacing=spacing,
+            )
+            key = f"px{w}x{r}u{u}_scan{nh}x{step_bins}_sp{spacing}"
+            yield key, cfg
+
+
+def run_cell(
+    landscape,
+    route: np.ndarray,
+    cfg: SimConfig,
+    n_trials: int,
+    seed: int,
+    fam_impl: str = "jnp",
+) -> dict:
+    """Train on the route, run n_trials randomized recall episodes, aggregate."""
+    from navdv_tpu.training import train_library
+
+    land_dev = jnp.asarray(landscape)
+    lib = train_library(land_dev, route, cfg)
+    st = make_statics(land_dev, lib, route)
+    starts, thetas = make_trials(route, cfg, n_trials, seed=seed)
+    nav = make_navigate_batch(cfg, fam_impl=fam_impl)
+    t0 = time.perf_counter()
+    final, rec = jax.block_until_ready(nav(init_state(starts, thetas), st))
+    wall = time.perf_counter() - t0
+    m = episode_metrics(final, rec)
+    return {
+        "success_rate": np.asarray(jnp.mean(m["success"].astype(jnp.float32))),
+        "mean_steps": np.asarray(jnp.mean(m["n_steps"].astype(jnp.float32))),
+        "mean_path_error": np.asarray(jnp.mean(m["mean_path_error"])),
+        "max_path_error": np.asarray(jnp.max(m["max_path_error"])),
+        "status_counts": np.bincount(np.asarray(final.status), minlength=4),
+        "n_library_views": np.asarray(lib.views.shape[0]),
+        "n_trials": np.asarray(n_trials),
+        "wall_s": np.asarray(wall),
+        "agent_steps_per_s": np.asarray(n_trials * cfg.agent.max_steps / wall),
+    }
+
+
+def run_sweep(
+    landscape,
+    route: np.ndarray,
+    spec: SweepSpec,
+    out_dir: str,
+    fam_impl: str = "jnp",
+    verbose: bool = True,
+) -> dict:
+    """Run every cell, resuming from ``out_dir`` (cells with a result file are
+    skipped). Returns {cell_key: results} and writes summary.json."""
+    os.makedirs(out_dir, exist_ok=True)
+    all_results = {}
+    for key, cfg in spec.cells():
+        path = os.path.join(out_dir, f"cell_{key}.npz")
+        if os.path.exists(path):
+            all_results[key] = load_results(path)
+            if verbose:
+                print(f"[sweep] {key}: resumed from disk")
+            continue
+        res = run_cell(landscape, route, cfg, spec.n_trials, spec.seed, fam_impl)
+        save_results(path, res)
+        all_results[key] = res
+        if verbose:
+            print(
+                f"[sweep] {key}: success={float(res['success_rate']):.3f} "
+                f"steps/s={float(res['agent_steps_per_s']):,.0f}"
+            )
+    summary = {
+        k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
+        for k, v in all_results.items()
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return all_results

@@ -1,0 +1,122 @@
+"""L5: visualization (SURVEY.md §1 L5, §2.1 visualization row) — trajectory
+plots over the landscape, familiarity traces, and episode animations. All
+host-side matplotlib on NumPy copies of the device records."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")  # headless
+import matplotlib.pyplot as plt
+from matplotlib import animation
+
+
+def _active_slice(rec) -> np.ndarray:
+    """Steps actually taken (rec.done is pre-step done)."""
+    done = np.asarray(rec.done)
+    return ~done
+
+
+def plot_trajectory(landscape, route, rec, path: str, title: str = "") -> str:
+    """Recalled trajectory (single episode or a batch) over the landscape."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    land = np.asarray(landscape)
+    ax.imshow(land, cmap="gray", origin="lower", extent=(0, land.shape[1], 0, land.shape[0]))
+    route = np.asarray(route)
+    ax.plot(route[:, 0], route[:, 1], "c-", lw=2, label="training route")
+    xy = np.asarray(rec.xy)
+    act = _active_slice(rec)
+    if xy.ndim == 2:  # single episode [T, 2]
+        ax.plot(xy[act, 0], xy[act, 1], "r.-", ms=3, lw=1, label="recall")
+    else:  # batch [B, T, 2]
+        for b in range(min(xy.shape[0], 64)):
+            a = act[b]
+            ax.plot(xy[b, a, 0], xy[b, a, 1], "-", lw=0.7, alpha=0.5)
+        ax.plot([], [], "r-", label="recall trials")
+    ax.legend(loc="upper right")
+    ax.set_title(title or "route recall")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_familiarity_trace(rec, path: str) -> str:
+    """Per-step selected familiarity (lower = more familiar)."""
+    fig, ax = plt.subplots(figsize=(8, 3))
+    fam = np.asarray(rec.fam)
+    act = _active_slice(rec)
+    if fam.ndim == 1:
+        ax.plot(np.where(act)[0], fam[act], "b-")
+    else:
+        for b in range(min(fam.shape[0], 32)):
+            a = act[b]
+            ax.plot(np.where(a)[0], fam[b, a], "-", lw=0.7, alpha=0.5)
+    ax.set_xlabel("step")
+    ax.set_ylabel("min distance")
+    ax.set_title("familiarity trace")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_sweep_heatmap(results: dict, axis_x: str, axis_y: str, path: str) -> str:
+    """Success-rate heatmap over two sweep axes parsed from cell keys."""
+    # cell keys look like px72x16u5_scan60x2_sp1.0
+    rows = {}
+    for key, res in results.items():
+        parts = dict(p[:2] for p in [("px", key.split("_")[0][2:]),
+                                     ("sc", key.split("_")[1][4:]),
+                                     ("sp", key.split("_")[2][2:])])
+        rows[(parts[axis_y[:2]], parts[axis_x[:2]])] = float(res["success_rate"])
+    ys = sorted({k[0] for k in rows})
+    xs = sorted({k[1] for k in rows})
+    mat = np.full((len(ys), len(xs)), np.nan)
+    for (y, x), v in rows.items():
+        mat[ys.index(y), xs.index(x)] = v
+    fig, ax = plt.subplots(figsize=(1.2 * len(xs) + 2, 1.0 * len(ys) + 2))
+    im = ax.imshow(mat, vmin=0, vmax=1, cmap="viridis")
+    ax.set_xticks(range(len(xs)), xs)
+    ax.set_yticks(range(len(ys)), ys)
+    ax.set_xlabel(axis_x)
+    ax.set_ylabel(axis_y)
+    fig.colorbar(im, label="success rate")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def animate_episode(landscape, route, rec, path: str, fps: int = 20) -> str:
+    """Movie of one recall episode (SURVEY.md §1 L5 'movies')."""
+    land = np.asarray(landscape)
+    route = np.asarray(route)
+    xy = np.asarray(rec.xy)
+    theta = np.asarray(rec.theta)
+    act = _active_slice(rec)
+    xy, theta = xy[act], theta[act]
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(land, cmap="gray", origin="lower", extent=(0, land.shape[1], 0, land.shape[0]))
+    ax.plot(route[:, 0], route[:, 1], "c-", lw=2)
+    (trail,) = ax.plot([], [], "r-", lw=1)
+    (head,) = ax.plot([], [], "ro", ms=5)
+    arrow = ax.annotate(
+        "", xy=(0, 0), xytext=(0, 0), arrowprops=dict(arrowstyle="->", color="y")
+    )
+
+    def update(i):
+        trail.set_data(xy[: i + 1, 0], xy[: i + 1, 1])
+        head.set_data([xy[i, 0]], [xy[i, 1]])
+        arrow.set_position((xy[i, 0], xy[i, 1]))
+        arrow.xy = (xy[i, 0] + 8 * np.cos(theta[i]), xy[i, 1] + 8 * np.sin(theta[i]))
+        return trail, head
+
+    ani = animation.FuncAnimation(fig, update, frames=len(xy), interval=1000 / fps)
+    try:
+        ani.save(path, writer="ffmpeg", fps=fps)
+    except Exception:
+        path = path.rsplit(".", 1)[0] + ".gif"
+        ani.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return path

@@ -1,0 +1,68 @@
+"""L4 sweep runner: grid execution, aggregation, on-disk resume."""
+
+import os
+
+import numpy as np
+
+from navdv_tpu.checkpoint import load_library, load_results, save_library, save_results
+from navdv_tpu.sweep import SweepSpec, run_cell, run_sweep
+from navdv_tpu.trials import make_trials
+
+
+def _tiny_spec():
+    return SweepSpec(
+        sensor_px=((24, 4, 3),),
+        scan_granularity=((12, 2), (8, 3)),
+        capture_spacing=(1.5,),
+        n_trials=4,
+        max_steps=16,
+    )
+
+
+def test_trials_reproducible(small_cfg, small_world):
+    _, route = small_world
+    s1, t1 = make_trials(route, small_cfg, 8, seed=3)
+    s2, t2 = make_trials(route, small_cfg, 8, seed=3)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(t1, t2)
+    s3, _ = make_trials(route, small_cfg, 8, seed=4)
+    assert not np.array_equal(s1, s3)
+
+
+def test_run_cell(small_cfg, small_world):
+    landscape, route = small_world
+    res = run_cell(landscape, route, small_cfg, n_trials=4, seed=0)
+    assert 0.0 <= float(res["success_rate"]) <= 1.0
+    assert res["status_counts"].sum() == 4
+    assert float(res["agent_steps_per_s"]) > 0
+
+
+def test_sweep_runs_and_resumes(small_world, tmp_path):
+    landscape, route = small_world
+    spec = _tiny_spec()
+    out = str(tmp_path / "sweep")
+    r1 = run_sweep(landscape, route, spec, out, verbose=False)
+    assert len(r1) == 2
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    # tamper with one result file; resume must keep it (proves skip-if-exists)
+    key = next(iter(r1))
+    path = os.path.join(out, f"cell_{key}.npz")
+    tampered = dict(load_results(path))
+    tampered["success_rate"] = np.asarray(0.123)
+    save_results(path, tampered)
+    r2 = run_sweep(landscape, route, spec, out, verbose=False)
+    assert float(r2[key]["success_rate"]) == 0.123
+
+
+def test_library_checkpoint_roundtrip(small_cfg, small_world, tmp_path):
+    import jax.numpy as jnp
+
+    from navdv_tpu.training import train_library
+
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    path = str(tmp_path / "lib_ckpt")
+    save_library(path, lib)
+    lib2 = load_library(path)
+    np.testing.assert_array_equal(np.asarray(lib.views), np.asarray(lib2.views))
+    np.testing.assert_array_equal(np.asarray(lib.valid), np.asarray(lib2.valid))
