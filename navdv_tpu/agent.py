@@ -23,6 +23,7 @@ from navdv_tpu.familiarity import LibraryPack, make_familiarity_jnp
 from navdv_tpu.sensor import (
     make_candidate_views,
     make_render_panorama,
+    scan_lag_sets,
     scan_shift_sets,
 )
 
@@ -154,46 +155,71 @@ def _make_decide(cfg: SimConfig):
     return decide
 
 
-def _make_fam_batch(cfg: SimConfig, fam_impl: str, lib_axis: str | None):
-    """Batched familiarity: (cand_ext f32[B, Ne, P], lib) -> fam f32[B, Nh]."""
+def _make_lib_min(cfg: SimConfig, fam_impl: str):
+    """Per-lag library minimum: (cand f32[B, L, P], lib) -> M f32[B, L]."""
+    from navdv_tpu.familiarity import distance_matrix
+
     if fam_impl == "jnp":
-        fam1 = make_familiarity_jnp(cfg.sensor, cfg.scan)
-        fam_b = jax.vmap(fam1, in_axes=(0, None))
-    elif fam_impl == "pallas":
-        from navdv_tpu.ops.familiarity_pallas import make_familiarity_batched_pallas
+        def lib_min(cand, lib):
+            d = jax.vmap(lambda c: distance_matrix(c, lib, cfg.scan.metric))(cand)
+            return jnp.min(d, axis=2)
 
-        fam_b = make_familiarity_batched_pallas(cfg.sensor, cfg.scan)
-    else:
-        raise ValueError(f"unknown fam_impl {fam_impl!r}")
+        return lib_min
+    if fam_impl == "pallas":
+        from navdv_tpu.ops.familiarity_pallas import make_lib_min_pallas
 
-    if lib_axis is None:
-        return fam_b
+        return make_lib_min_pallas(cfg.sensor, cfg.scan)
+    raise ValueError(f"unknown fam_impl {fam_impl!r}")
 
-    def fam_sharded(cand, lib):
-        # per-library-shard partial minima -> pmin across shards: the system's
-        # one collective (SURVEY.md §2.3/§5.8)
-        return jax.lax.pmin(fam_b(cand, lib), lib_axis)
 
-    return fam_sharded
+# auto-chunking threshold: candidate-extraction fp32 elements per agent before
+# the (L x P) lag stack is split into chunks (bounds HBM transients at big
+# sensors, e.g. BASELINE config 3)
+FAM_CHUNK_ELEMS = 2 << 20
 
 
 def make_step_batched(
     cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
 ):
-    """Production batched step: ``(AgentState[B], EpisodeStatics) -> (AgentState[B], StepRecord[B])``."""
-    shifts, extended = scan_shift_sets(cfg.scan)
-    render = make_render_panorama(cfg.sensor)
-    views_ext = make_candidate_views(cfg.sensor, extended)
-    fam_b = _make_fam_batch(cfg, fam_impl, lib_axis)
-    decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
+    """Production batched step: ``(AgentState[B], EpisodeStatics) -> (AgentState[B], StepRecord[B])``.
 
+    Pipeline: render one panorama per agent -> candidate views at the
+    DEDUPLICATED scan lags (RIDF windows of neighboring headings overlap;
+    sensor.scan_lag_sets — e.g. 3.4x less work at BASELINE config 3) -> per-lag
+    library minimum M[B, L] (jnp matmul or Pallas kernel) -> RIDF min-pool via
+    a static window gather -> argmin/kinematics. When (L x P) per agent
+    exceeds FAM_CHUNK_ELEMS, lags are extracted and scored in chunks so only
+    [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
+    """
+    lags, window_idx = scan_lag_sets(cfg.scan)
+    render = make_render_panorama(cfg.sensor)
+    decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
     render_b = jax.vmap(render, in_axes=(None, 0, 0))
-    views_b = jax.vmap(views_ext)
+    lib_min = _make_lib_min(cfg, fam_impl)
+
+    p = cfg.sensor.n_pixels
+    n_lags = len(lags)
+    chunk = max(1, FAM_CHUNK_ELEMS // p)
+    chunk_bounds = (
+        [(0, n_lags)]
+        if n_lags * p <= FAM_CHUNK_ELEMS
+        else [(i, min(i + chunk, n_lags)) for i in range(0, n_lags, chunk)]
+    )
+    chunk_views = [
+        jax.vmap(make_candidate_views(cfg.sensor, lags[lo:hi]))
+        for lo, hi in chunk_bounds
+    ]
+    window_idx_dev = jnp.asarray(window_idx)  # [Nh, 2t+1]
 
     def step(states: AgentState, st: EpisodeStatics):
         pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
-        cand = views_b(pano)  # [B, Ne, P]
-        fam = fam_b(cand, st.lib)  # [B, Nh]
+        parts = [lib_min(v(pano), st.lib) for v in chunk_views]
+        m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # [B, L]
+        if lib_axis is not None:
+            # per-library-shard partial minima -> pmin across shards: the
+            # system's one collective (SURVEY.md §2.3/§5.8)
+            m = jax.lax.pmin(m, lib_axis)
+        fam = jnp.min(m[:, window_idx_dev], axis=2)  # [B, Nh]
         return decide(states, fam, st)
 
     return step

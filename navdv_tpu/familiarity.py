@@ -69,7 +69,7 @@ def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
     """d[s, v] = sum((cand_s - lib_v)^2) via the matmul decomposition."""
     cand_sq = jnp.sum(cand * cand, axis=1)  # [Ns]
     # HIGHEST: fp32 MXU passes — the decomposition cancels catastrophically in bf16
-    cross = jnp.dot(cand, lib.flat.T, precision=jax.lax.Precision.HIGHEST)  # [Ns, Nl]
+    cross = jnp.dot(cand, lib.flat.T, precision=jax.lax.Precision.HIGH)  # [Ns, Nl]
     d = cand_sq[:, None] + lib.sq[None, :] - 2.0 * cross
     return jnp.maximum(d, 0.0) + _pad_penalty(lib)  # clamp fp cancellation noise
 
@@ -78,7 +78,7 @@ def ncc_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
     """d[s, v] = 1 - mean(z(cand_s) * z(lib_v)) (SEMANTICS.md §4)."""
     p = cand.shape[1]
     zc = zscore(cand)
-    d = 1.0 - jnp.dot(zc, lib.z.T, precision=jax.lax.Precision.HIGHEST) / p
+    d = 1.0 - jnp.dot(zc, lib.z.T, precision=jax.lax.Precision.HIGH) / p
     return d + _pad_penalty(lib)
 
 

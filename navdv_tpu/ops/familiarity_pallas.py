@@ -163,6 +163,37 @@ def _zscore_rows(v: jnp.ndarray) -> jnp.ndarray:
     return (v - m) / jnp.sqrt(var + NCC_EPS)
 
 
+def make_lib_min_pallas(
+    sensor: SensorConfig, scan: ScanConfig, interpret: bool | None = None
+):
+    """Per-lag library minimum: ``(cand f32[B, L, P], lib) -> M f32[B, L]``.
+
+    The production kernel entry used by agent.make_step_batched (the RIDF
+    window pooling happens outside on the tiny [B, L] result).
+    """
+    if scan.metric not in ("ssd", "ncc"):
+        raise ValueError(f"unknown familiarity metric {scan.metric!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def lib_min(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
+        b, nl_rows, p = cand.shape
+        rows = cand.reshape(b * nl_rows, p)
+        pen = (1.0 - lib.valid) * PAD_PENALTY
+        if scan.metric == "ssd":
+            m = min_distance_rows(
+                rows, lib.flat, lib.sq + pen, -2.0, True, interpret=interpret
+            )
+            m = jnp.maximum(m, 0.0)
+        else:
+            m = min_distance_rows(
+                _zscore_rows(rows), lib.z, pen, -1.0 / p, False, interpret=interpret
+            )
+        return m.reshape(b, nl_rows)
+
+    return lib_min
+
+
 def make_familiarity_batched_pallas(
     sensor: SensorConfig, scan: ScanConfig, interpret: bool | None = None
 ):
