@@ -22,7 +22,7 @@ from navdv_tpu.config import SimConfig
 from navdv_tpu.familiarity import LibraryPack, make_familiarity_jnp
 from navdv_tpu.sensor import (
     make_candidate_views,
-    make_render_panorama,
+    make_render_batch,
     scan_lag_sets,
     scan_shift_sets,
 )
@@ -192,9 +192,8 @@ def make_step_batched(
     [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
     """
     lags, window_idx = scan_lag_sets(cfg.scan)
-    render = make_render_panorama(cfg.sensor)
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
-    render_b = jax.vmap(render, in_axes=(None, 0, 0))
+    render_b = make_render_batch(cfg.sensor)
     lib_min = _make_lib_min(cfg, fam_impl)
 
     p = cfg.sensor.n_pixels

@@ -1,0 +1,97 @@
+"""Pallas kernel: batched landscape-window extraction (hot op #3).
+
+XLA lowers the vmapped ``dynamic_slice`` window extraction to per-agent
+dynamic-update-slice fusions that run at ~2 GiB/s (profiled: ~1.0 ms/step at
+B=1024 — the single largest step cost). This kernel replaces it with direct
+per-agent DMAs.
+
+Mosaic DMA slice constraints (f32 tiling (8, 128)): sublane starts must be
+provably 8-aligned (callers align down; the remainder rides in the fractional
+offset) and lane slices must be 128-aligned. So each agent DMAs an aligned
+[wy, 256] band into VMEM and the true wx-wide window is extracted with a
+*selection matmul*: ``win = band @ Sel(off)`` where ``Sel[c, q] = (c == off+q)``
+— a dynamic shift with no dynamic slicing, exact (0/1 matrix at fp32 passes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAND = 256  # aligned lane width DMA'd per agent
+
+
+def _window_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, tb, wy, wx):
+    i = pl.program_id(0)
+
+    def get_dma(t):
+        b = i * tb + t
+        by = pl.multiple_of(by_ref[b], 8)
+        bx = pl.multiple_of(bx_ref[b], 128)  # lane-tile aligned band start
+        return pltpu.make_async_copy(
+            land_ref.at[pl.ds(by, wy), pl.ds(bx, BAND)],
+            band_ref.at[t],
+            sems.at[t],
+        )
+
+    for t in range(tb):
+        get_dma(t).start()
+    col = jax.lax.broadcasted_iota(jnp.int32, (BAND, wx), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (BAND, wx), 1)
+    for t in range(tb):
+        get_dma(t).wait()
+        off = off_ref[i * tb + t]
+        sel = (col == q + off).astype(jnp.float32)  # [BAND, wx]
+        out_ref[t] = jnp.dot(
+            band_ref[t],
+            sel,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact: 0/1 selection
+        )
+
+
+def make_window_gather_pallas(
+    wy: int, wx: int, tb: int = 16, interpret: bool | None = None
+):
+    """``(landscape f32[H, W>=BAND], base_y i32[B], base_x i32[B]) -> f32[B, wy, wx]``.
+
+    base_y must be 8-aligned and in [0, H-wy]; base_x in [0, W-wx] (the
+    aligned band start and in-band offset are derived here).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_window_kernel, tb=tb, wy=wy, wx=wx)
+
+    def gather(landscape: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
+        b = base_y.shape[0]
+        assert b % tb == 0, f"batch {b} must be a multiple of {tb}"
+        wl = landscape.shape[1]
+        assert wl >= BAND, f"landscape width {wl} < {BAND}; pad first"
+        # 128-granular band start: off stays < 128 (or <= 232 at the right
+        # edge clip), so the wx-wide window never crosses the band end
+        bx_band = jnp.minimum((base_x // 128) * 128, wl - BAND)
+        off = base_x - bx_band  # in [0, BAND - wx]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # base_y, bx_band, off
+            grid=(b // tb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # landscape in HBM
+            out_specs=pl.BlockSpec(
+                (tb, wy, wx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tb, wy, BAND), jnp.float32),
+                pltpu.SemaphoreType.DMA((tb,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, wy, wx), jnp.float32),
+            interpret=interpret,
+        )(base_y, bx_band, off, landscape)
+
+    return gather
