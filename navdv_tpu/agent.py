@@ -191,9 +191,26 @@ def make_step_batched(
     exceeds FAM_CHUNK_ELEMS, lags are extracted and scored in chunks so only
     [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
     """
-    lags, window_idx = scan_lag_sets(cfg.scan)
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
     render_b = make_render_batch(cfg.sensor)
+
+    if fam_impl == "conv":
+        # fastest path: the whole lag scan as one MXU convolution — no
+        # candidate tensor at all (familiarity_conv.py)
+        from navdv_tpu.familiarity_conv import make_fam_conv
+
+        fam_conv = make_fam_conv(cfg.sensor, cfg.scan)
+
+        def step(states: AgentState, st: EpisodeStatics):
+            pano = render_b(st.landscape, states.xy, states.theta)
+            fam = fam_conv(pano, st.lib)
+            if lib_axis is not None:
+                fam = jax.lax.pmin(fam, lib_axis)  # min commutes with pooling
+            return decide(states, fam, st)
+
+        return step
+
+    lags, window_idx = scan_lag_sets(cfg.scan)
     lib_min = _make_lib_min(cfg, fam_impl)
 
     p = cfg.sensor.n_pixels
