@@ -15,6 +15,8 @@ import os
 
 def _add_world_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--landscape", default="blobs", choices=["blobs", "noise", "checker", "flat"])
+    p.add_argument("--landscape-file", default=None,
+                   help="image (PNG/JPEG) or .npy texture; overrides --landscape")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--route", default="sine", choices=["line", "sine"])
@@ -39,8 +41,8 @@ def cmd_demo(args) -> None:
 
     cfg = baseline_config(args.config)
     size = (args.size, args.size)
-    landscape = nav.make_landscape(args.landscape, size=size, seed=args.seed)
-    route = nav.make_route(args.route, size=size, margin=60.0, length=args.route_length)
+    landscape = _load_world(args, size)
+    route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
     steps = args.steps or int(
         np.hypot(*np.diff(route, axis=0).T).sum() / cfg.agent.step_size * 1.3
     )
@@ -85,16 +87,29 @@ def cmd_bench(args) -> None:
     print(json.dumps(run_bench(args.config, args.batch, args.steps, args.impl)))
 
 
+def _load_world(args, size):
+    import navdv_tpu as nav
+    from navdv_tpu.landscape import load_landscape
+
+    if getattr(args, "landscape_file", None):
+        return load_landscape(args.landscape_file)
+    return nav.make_landscape(args.landscape, size=size, seed=args.seed)
+
+
 def cmd_sweep(args) -> None:
     import navdv_tpu as nav
     from navdv_tpu.sweep import SweepSpec, run_sweep
     from navdv_tpu import viz
 
     size = (args.size, args.size)
-    landscape = nav.make_landscape(args.landscape, size=size, seed=args.seed)
-    route = nav.make_route(args.route, size=size, margin=60.0, length=args.route_length)
+    landscape = _load_world(args, size)
+    route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
     spec = SweepSpec(n_trials=args.trials, max_steps=args.steps, seed=args.seed)
-    results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl)
+    shard = None
+    if args.shard:
+        i, n = args.shard.split("/")
+        shard = (int(i), int(n))
+    results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl, shard=shard)
     viz.plot_sweep_heatmap(
         results, "scan", "px", os.path.join(args.out, "success_heatmap.png")
     )
@@ -126,6 +141,8 @@ def main(argv=None) -> None:
     s.add_argument("--trials", type=int, default=256)
     s.add_argument("--steps", type=int, default=256)
     s.add_argument("--out", default="out/sweep")
+    s.add_argument("--shard", default=None, metavar="I/N",
+                   help="run every N-th cell starting at I (array-job pattern)")
     s.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)

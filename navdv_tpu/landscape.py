@@ -51,6 +51,17 @@ def _checker(size: tuple[int, int], cell: int) -> np.ndarray:
     return (((yy // cell) + (xx // cell)) % 2).astype(np.float64)
 
 
+def load_landscape(path: str) -> np.ndarray:
+    """Load a landscape texture from an image file (PNG/JPEG/TIFF via PIL) or
+    a ``.npy`` array; grayscale-converted and normalized to f32 [0, 1]."""
+    if path.endswith(".npy"):
+        return _normalize(np.load(path).astype(np.float64))
+    from PIL import Image
+
+    img = Image.open(path).convert("L")
+    return _normalize(np.asarray(img, dtype=np.float64))
+
+
 def make_landscape(
     kind: str = "blobs",
     size: tuple[int, int] = (512, 512),

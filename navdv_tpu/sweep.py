@@ -107,12 +107,21 @@ def run_sweep(
     out_dir: str,
     fam_impl: str = "jnp",
     verbose: bool = True,
+    shard: tuple[int, int] | None = None,
 ) -> dict:
     """Run every cell, resuming from ``out_dir`` (cells with a result file are
-    skipped). Returns {cell_key: results} and writes summary.json."""
+    skipped). Returns {cell_key: results} and writes summary.json.
+
+    ``shard=(i, n)`` runs only every n-th cell starting at i — the
+    cluster-array-job pattern (SURVEY.md §1 L4): launch n sweep processes
+    (one per host/VM) against a shared out_dir; resume makes the union
+    complete and idempotent.
+    """
     os.makedirs(out_dir, exist_ok=True)
     all_results = {}
-    for key, cfg in spec.cells():
+    for idx, (key, cfg) in enumerate(spec.cells()):
+        if shard is not None and idx % shard[1] != shard[0]:
+            continue
         path = os.path.join(out_dir, f"cell_{key}.npz")
         if os.path.exists(path):
             all_results[key] = load_results(path)

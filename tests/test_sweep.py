@@ -54,6 +54,33 @@ def test_sweep_runs_and_resumes(small_world, tmp_path):
     assert float(r2[key]["success_rate"]) == 0.123
 
 
+def test_sweep_sharding_unions_to_full_grid(small_world, tmp_path):
+    """Array-job pattern: two shards against one out_dir = the full sweep."""
+    landscape, route = small_world
+    spec = _tiny_spec()
+    out = str(tmp_path / "sweep_shard")
+    r0 = run_sweep(landscape, route, spec, out, verbose=False, shard=(0, 2))
+    r1 = run_sweep(landscape, route, spec, out, verbose=False, shard=(1, 2))
+    assert len(r0) == 1 and len(r1) == 1
+    assert set(r0) | set(r1) == {k for k, _ in spec.cells()}
+
+
+def test_load_landscape_roundtrip(tmp_path):
+    from navdv_tpu.landscape import load_landscape, make_landscape
+
+    land = make_landscape("blobs", size=(64, 64), seed=1)
+    np.save(tmp_path / "l.npy", land)
+    got = load_landscape(str(tmp_path / "l.npy"))
+    np.testing.assert_allclose(got, land, atol=1e-6)
+
+    from PIL import Image
+
+    Image.fromarray((land * 255).astype(np.uint8)).save(tmp_path / "l.png")
+    got_png = load_landscape(str(tmp_path / "l.png"))
+    assert got_png.shape == (64, 64)
+    np.testing.assert_allclose(got_png, land, atol=0.01)  # 8-bit quantization
+
+
 def test_library_checkpoint_roundtrip(small_cfg, small_world, tmp_path):
     import jax.numpy as jnp
 
