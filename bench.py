@@ -103,7 +103,15 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=None,
                     help="default: route arc length * 1.3")
     ap.add_argument("--impl", default="default")
+    ap.add_argument("--all", action="store_true",
+                    help="run BASELINE configs 1-4 (one JSON line each)")
     args = ap.parse_args()
+    if args.all:
+        # config 4 IS config 1 with the 1024-agent batch (the default run);
+        # config 5 (sweep grid) runs via `python -m navdv_tpu.cli sweep`
+        for cfg_n, batch in [(1, 1024), (2, 512), (3, 128), (4, 1024)]:
+            print(json.dumps(run_bench(cfg_n, batch, args.steps, args.impl)))
+        return
     result = run_bench(args.config, args.batch, args.steps, args.impl)
     print(json.dumps(result))
 

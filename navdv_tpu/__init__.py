@@ -33,6 +33,7 @@ from navdv_tpu.agent import (
     step,
 )
 from navdv_tpu.metrics import episode_metrics, success_rate
+from navdv_tpu.simulator import NavigationResult, NavigationSimulator
 from navdv_tpu.trials import make_trials
 
 __version__ = "0.1.0"
@@ -51,6 +52,8 @@ __all__ = [
     "make_navigate_batch",
     "make_statics",
     "make_trials",
+    "NavigationResult",
+    "NavigationSimulator",
     "navigate",
     "step",
     "episode_metrics",

@@ -106,10 +106,13 @@ def _make_decide(cfg: SimConfig):
     sensor, ag = cfg.sensor, cfg.agent
     shifts, _ = scan_shift_sets(cfg.scan)
     shifts_dev = jnp.asarray(shifts, dtype=jnp.float32)
+    tie_order = jnp.asarray(np.asarray(cfg.scan.tie_order(), dtype=np.int32))
     binw = sensor.bin_width
 
     def decide(state: AgentState, fam: jnp.ndarray, st: EpisodeStatics):
-        k = jnp.argmin(fam)  # ties -> lowest index (SEMANTICS.md §5)
+        # ties -> smallest |shift|, then lowest index (SEMANTICS.md §5):
+        # argmin over the tie-order permutation implements it exactly
+        k = tie_order[jnp.argmin(fam[tie_order])]
         theta_new = state.theta + shifts_dev[k] * binw
         xy_new = state.xy + ag.step_size * jnp.stack(
             [jnp.cos(theta_new), jnp.sin(theta_new)]

@@ -53,6 +53,13 @@ class ScanConfig:
         half = self.n_headings // 2
         return [(k - half) * self.scan_step_bins for k in range(self.n_headings)]
 
+    def tie_order(self) -> list[int]:
+        """Candidate evaluation order for argmin tie-breaking: smallest
+        |shift| first, then lowest index (SEMANTICS.md §5). Taking the argmin
+        over candidates permuted by this order implements the rule exactly."""
+        s = self.shifts()
+        return sorted(range(self.n_headings), key=lambda k: (abs(s[k]), k))
+
 
 @dataclasses.dataclass(frozen=True)
 class AgentConfig:

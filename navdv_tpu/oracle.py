@@ -171,10 +171,12 @@ def navigate(
 
     xs, ys, thetas, fams, ks = [], [], [], [], []
     status = "budget"
+    tie_order = np.array(cfg.scan.tie_order())
     for _ in range(ac.max_steps):
         pano = render_panorama(landscape, xy[0], xy[1], theta, cfg)
         fam = scan_familiarity(pano, library, cfg)
-        k = int(np.argmin(fam))  # ties -> lowest index
+        # ties -> smallest |shift|, then lowest index (SEMANTICS.md §5)
+        k = int(tie_order[np.argmin(fam[tie_order])])
         theta = theta + shifts[k] * s.bin_width
         xy = xy + ac.step_size * np.array([np.cos(theta), np.sin(theta)])
         xs.append(xy[0]); ys.append(xy[1]); thetas.append(theta)

@@ -1,0 +1,117 @@
+"""High-level OO facade: the one-stop entry point for users coming from the
+reference's single-simulator-class style (SURVEY.md §1 L3 recalls a
+``NavBySceneFamiliarity`` class owning pose, step size, scan arc, sensor dims
+and the library; this wraps the functional core in that shape).
+
+>>> sim = NavigationSimulator.from_config(nav.baseline_config(1),
+...                                       landscape, route)
+>>> sim.train()
+>>> result = sim.navigate(n_trials=1024, seed=0)
+>>> result.success_rate
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navdv_tpu.agent import (
+    init_state,
+    make_navigate_batch,
+    make_statics,
+)
+from navdv_tpu.config import SimConfig
+from navdv_tpu.metrics import episode_metrics, success_rate
+from navdv_tpu.oracle import resample_route
+from navdv_tpu.trials import make_trials
+
+
+@dataclasses.dataclass
+class NavigationResult:
+    """Batched recall outcome with the trajectory record attached."""
+
+    success_rate: float
+    metrics: dict[str, Any]
+    final_state: Any
+    record: Any  # StepRecord [B, T, ...]
+
+    def plot(self, landscape, route, out_path: str) -> str:
+        from navdv_tpu import viz
+
+        return viz.plot_trajectory(landscape, route, self.record, out_path)
+
+
+class NavigationSimulator:
+    """Owns landscape + route + trained library + compiled navigate fn."""
+
+    def __init__(self, cfg: SimConfig, landscape, route, fam_impl: str = "jnp"):
+        self.cfg = cfg
+        self.landscape = jnp.asarray(landscape, jnp.float32)
+        self.route = np.asarray(route, np.float64)
+        self.fam_impl = fam_impl
+        self.library = None
+        self._statics = None
+        self._navigate = None
+
+    @classmethod
+    def from_config(cls, cfg: SimConfig, landscape, route, **kw) -> "NavigationSimulator":
+        return cls(cfg, landscape, route, **kw)
+
+    def train(self) -> "NavigationSimulator":
+        """Capture the training-view library along the route (SEMANTICS.md §6)."""
+        from navdv_tpu.training import train_library
+
+        self.library = train_library(self.landscape, self.route, self.cfg)
+        self._statics = make_statics(self.landscape, self.library, self.route)
+        self._navigate = make_navigate_batch(self.cfg, fam_impl=self.fam_impl)
+        return self
+
+    def save_library(self, path: str) -> None:
+        from navdv_tpu.checkpoint import save_library
+
+        save_library(path, self.library)
+
+    def load_library(self, path: str) -> "NavigationSimulator":
+        from navdv_tpu.checkpoint import load_library
+
+        self.library = load_library(path)
+        self._statics = make_statics(self.landscape, self.library, self.route)
+        self._navigate = make_navigate_batch(self.cfg, fam_impl=self.fam_impl)
+        return self
+
+    def navigate(
+        self,
+        n_trials: int = 1,
+        seed: int = 0,
+        pos_sigma: float = 1.5,
+        heading_sigma: float = 0.15,
+        starts=None,
+        headings=None,
+    ) -> NavigationResult:
+        """Run batched recall episodes from randomized (or given) starts."""
+        if self.library is None:
+            raise RuntimeError("call train() or load_library() first")
+        if starts is None:
+            starts, headings = make_trials(
+                self.route, self.cfg, n_trials, seed=seed,
+                pos_sigma=pos_sigma, heading_sigma=heading_sigma,
+            )
+        final, rec = jax.block_until_ready(
+            self._navigate(init_state(starts, headings), self._statics)
+        )
+        m = episode_metrics(final, rec)
+        return NavigationResult(
+            success_rate=float(success_rate(final)),
+            metrics={k: np.asarray(v) for k, v in m.items()},
+            final_state=final,
+            record=rec,
+        )
+
+    def start_pose(self) -> tuple[np.ndarray, float]:
+        """(route start point, initial tangent heading)."""
+        pts, hd = resample_route(self.route, self.cfg.capture_spacing)
+        return pts[0], float(hd[0])

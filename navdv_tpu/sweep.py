@@ -100,6 +100,26 @@ def run_cell(
     }
 
 
+def _log_tensorboard(out_dir: str, key: str, res: dict) -> None:
+    """Optional tensorboard scalars per cell (SURVEY.md §5.5); no-op when
+    tensorboard isn't importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
+        writer_cls = SummaryWriter
+    except Exception:
+        try:
+            from tensorboardX import SummaryWriter as writer_cls  # noqa: F401
+        except Exception:
+            return
+    try:
+        w = writer_cls(log_dir=os.path.join(out_dir, "tb", key))
+        for name in ("success_rate", "mean_path_error", "agent_steps_per_s"):
+            w.add_scalar(name, float(res[name]), 0)
+        w.close()
+    except Exception:
+        pass
+
+
 def run_sweep(
     landscape,
     route: np.ndarray,
@@ -131,6 +151,7 @@ def run_sweep(
         res = run_cell(landscape, route, cfg, spec.n_trials, spec.seed, fam_impl)
         save_results(path, res)
         all_results[key] = res
+        _log_tensorboard(out_dir, key, res)
         if verbose:
             print(
                 f"[sweep] {key}: success={float(res['success_rate']):.3f} "

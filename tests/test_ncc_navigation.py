@@ -20,12 +20,11 @@ from navdv_tpu.training import train_library
 
 
 def _ncc_cfg(small_cfg):
-    # tol_bins=0 here: at this toy sensor scale (24 px azimuth, 5-degree
-    # bins) RIDF min-pooling flattens heading discrimination enough to drift
-    # off a 15-unit corridor — genuine model behavior, not an implementation
-    # property. RIDF correctness is covered by test_ridf_* and test_pallas.
+    # tol_bins=1 exercises RIDF in the loop: overlapping RIDF windows create
+    # exact fam ties, which the smallest-|shift| tie-break (SEMANTICS.md §5)
+    # resolves without the left-turn bias that previously destroyed recall.
     return dataclasses.replace(
-        small_cfg, scan=ScanConfig(n_headings=12, scan_step_bins=2, metric="ncc", tol_bins=0)
+        small_cfg, scan=ScanConfig(n_headings=12, scan_step_bins=2, metric="ncc", tol_bins=1)
     )
 
 
@@ -49,6 +48,26 @@ def test_ncc_jax_recalls_route_under_intensity_change(small_cfg, small_world):
     pts, headings = oracle.resample_route(route, cfg.capture_spacing)
     final, rec = make_navigate(cfg)(init_state(pts[0], headings[0]), st)
     assert int(final.status) == STATUS_REACHED
+
+
+def test_tie_break_prefers_straightest(small_cfg):
+    """Exact fam ties resolve to the smallest |shift| (SEMANTICS.md §5)."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.agent import _make_decide, init_state, make_statics
+    from navdv_tpu.familiarity import pack_library
+    import numpy as np
+
+    cfg = small_cfg
+    decide = _make_decide(cfg)
+    lib = pack_library(jnp.zeros((1, 4, 24)))
+    st = make_statics(np.zeros((64, 64), np.float32), lib,
+                      np.array([[10.0, 32.0], [50.0, 32.0]]))
+    fam = jnp.zeros((cfg.scan.n_headings,))  # all tied
+    state = init_state(jnp.asarray([30.0, 32.0]), jnp.float32(0.0))
+    out, rec = decide(state, fam, st)
+    shifts = cfg.scan.shifts()
+    assert abs(shifts[int(rec.k)]) == min(abs(s) for s in shifts)
 
 
 def test_ridf_familiarity_no_worse_than_plain(small_cfg, small_world, rng):

@@ -1,0 +1,23 @@
+"""High-level NavigationSimulator facade end-to-end."""
+
+import numpy as np
+
+
+def test_simulator_end_to_end(small_cfg, small_world, tmp_path):
+    from navdv_tpu.simulator import NavigationSimulator
+
+    landscape, route = small_world
+    sim = NavigationSimulator.from_config(small_cfg, landscape, route).train()
+    res = sim.navigate(n_trials=8, seed=0, pos_sigma=0.5, heading_sigma=0.05)
+    assert res.success_rate >= 0.5
+    assert res.record.xy.shape[0] == 8
+    out = res.plot(landscape, route, str(tmp_path / "sim.png"))
+    assert (tmp_path / "sim.png").exists()
+
+    # library checkpoint round trip through the facade
+    sim.save_library(str(tmp_path / "lib"))
+    sim2 = NavigationSimulator.from_config(small_cfg, landscape, route).load_library(
+        str(tmp_path / "lib")
+    )
+    res2 = sim2.navigate(n_trials=8, seed=0, pos_sigma=0.5, heading_sigma=0.05)
+    np.testing.assert_allclose(res2.success_rate, res.success_rate)
