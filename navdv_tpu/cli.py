@@ -104,7 +104,10 @@ def cmd_sweep(args) -> None:
     size = (args.size, args.size)
     landscape = _load_world(args, size)
     route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
-    spec = SweepSpec(n_trials=args.trials, max_steps=args.steps, seed=args.seed)
+    if args.spec:
+        spec = SweepSpec.from_json(args.spec)
+    else:
+        spec = SweepSpec(n_trials=args.trials, max_steps=args.steps, seed=args.seed)
     shard = None
     if args.shard:
         i, n = args.shard.split("/")
@@ -143,6 +146,7 @@ def main(argv=None) -> None:
     s.add_argument("--out", default="out/sweep")
     s.add_argument("--shard", default=None, metavar="I/N",
                    help="run every N-th cell starting at I (array-job pattern)")
+    s.add_argument("--spec", default=None, help="SweepSpec JSON file")
     s.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)

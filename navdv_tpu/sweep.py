@@ -46,6 +46,22 @@ class SweepSpec:
     max_steps: int = 256
     seed: int = 0
 
+    @classmethod
+    def from_json(cls, path: str) -> "SweepSpec":
+        """Load a spec from a JSON file; lists become the grid tuples."""
+        with open(path) as f:
+            raw = json.load(f)
+
+        def tup(x):
+            return tuple(tuple(v) if isinstance(v, list) else v for v in x)
+
+        kw = {}
+        for field in dataclasses.fields(cls):
+            if field.name in raw:
+                v = raw[field.name]
+                kw[field.name] = tup(v) if isinstance(v, list) else v
+        return cls(**kw)
+
     def cells(self):
         for (px, gran, spacing) in itertools.product(
             self.sensor_px, self.scan_granularity, self.capture_spacing
@@ -74,15 +90,32 @@ def run_cell(
     n_trials: int,
     seed: int,
     fam_impl: str = "jnp",
+    mesh=None,
 ) -> dict:
-    """Train on the route, run n_trials randomized recall episodes, aggregate."""
+    """Train on the route, run n_trials randomized recall episodes, aggregate.
+
+    With ``mesh`` (jax.sharding.Mesh from parallel.make_mesh), trials shard
+    over the data axis and the library over the lib axis — one cell spanning
+    all chips (n_trials must divide the data-axis size).
+    """
     from navdv_tpu.training import train_library
 
     land_dev = jnp.asarray(landscape)
     lib = train_library(land_dev, route, cfg)
     st = make_statics(land_dev, lib, route)
     starts, thetas = make_trials(route, cfg, n_trials, seed=seed)
-    nav = make_navigate_batch(cfg, fam_impl=fam_impl)
+    if mesh is not None:
+        from navdv_tpu.parallel.mesh import (
+            LIB_AXIS,
+            make_navigate_sharded,
+            shard_statics,
+        )
+
+        shard_lib = mesh.shape[LIB_AXIS] > 1
+        st = shard_statics(st, mesh, shard_lib=shard_lib)
+        nav = make_navigate_sharded(cfg, mesh, fam_impl=fam_impl, shard_lib=shard_lib)
+    else:
+        nav = make_navigate_batch(cfg, fam_impl=fam_impl)
     t0 = time.perf_counter()
     final, rec = jax.block_until_ready(nav(init_state(starts, thetas), st))
     wall = time.perf_counter() - t0
@@ -128,6 +161,7 @@ def run_sweep(
     fam_impl: str = "jnp",
     verbose: bool = True,
     shard: tuple[int, int] | None = None,
+    mesh=None,
 ) -> dict:
     """Run every cell, resuming from ``out_dir`` (cells with a result file are
     skipped). Returns {cell_key: results} and writes summary.json.
@@ -148,7 +182,7 @@ def run_sweep(
             if verbose:
                 print(f"[sweep] {key}: resumed from disk")
             continue
-        res = run_cell(landscape, route, cfg, spec.n_trials, spec.seed, fam_impl)
+        res = run_cell(landscape, route, cfg, spec.n_trials, spec.seed, fam_impl, mesh=mesh)
         save_results(path, res)
         all_results[key] = res
         _log_tensorboard(out_dir, key, res)

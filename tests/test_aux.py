@@ -1,0 +1,79 @@
+"""Auxiliary subsystems: NaN hygiene (SURVEY.md §5.2), perf-harness smoke
+(§4.6), mesh-sharded sweep cells, SweepSpec JSON, distributed init no-op."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_step_is_nan_free_under_debug_nans(small_cfg, small_world):
+    """jax_debug_nans raises on any NaN produced inside the jitted step."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.agent import init_state, make_statics, make_step_batched
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, hd = resample_route(route, small_cfg.capture_spacing)
+    states = init_state(
+        jnp.asarray(pts[:4], jnp.float32), jnp.asarray(hd[:4], jnp.float32)
+    )
+    with jax.debug_nans(True):
+        out, rec = jax.jit(make_step_batched(small_cfg))(states, st)
+        jax.block_until_ready(out)
+
+
+def test_bench_smoke():
+    """The repo-root bench harness runs end-to-end (tiny, CPU)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import run_bench
+
+    res = run_bench(config_n=1, batch=8, steps=16, impl="jnp", repeats=1)
+    assert res["metric"] == "agent-steps/sec/chip"
+    assert res["value"] > 0
+    assert set(res) >= {"metric", "value", "unit", "vs_baseline", "success_rate"}
+
+
+def test_sweep_cell_on_mesh(small_cfg, small_world):
+    """One sweep cell spanning the 8-device mesh == aggregate sanity."""
+    from navdv_tpu.parallel.mesh import make_mesh
+    from navdv_tpu.sweep import run_cell
+
+    landscape, route = small_world
+    mesh = make_mesh(4, 2)
+    res = run_cell(landscape, route, small_cfg, n_trials=8, seed=0, mesh=mesh)
+    assert res["status_counts"].sum() == 8
+    assert 0.0 <= float(res["success_rate"]) <= 1.0
+
+
+def test_sweepspec_json_roundtrip(tmp_path):
+    from navdv_tpu.sweep import SweepSpec
+
+    spec = {
+        "sensor_px": [[24, 4, 3]],
+        "scan_granularity": [[12, 2]],
+        "capture_spacing": [1.5, 3.0],
+        "metric": "ncc",
+        "n_trials": 7,
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    got = SweepSpec.from_json(str(p))
+    assert got.metric == "ncc" and got.n_trials == 7
+    keys = [k for k, _ in got.cells()]
+    assert len(keys) == 2
+
+
+def test_distributed_init_single_host():
+    from navdv_tpu.parallel.distributed import global_mesh, init_distributed
+
+    init_distributed()  # must be a safe no-op on one host
+    mesh = global_mesh(n_lib=2)
+    assert mesh.devices.size == len(jax.devices())
