@@ -22,7 +22,10 @@ from navdv_tpu.config import SimConfig
 from navdv_tpu.familiarity import LibraryPack, make_familiarity_jnp
 from navdv_tpu.sensor import (
     make_candidate_views,
+    make_lag_stats,
+    make_pooled_panorama,
     make_render_batch,
+    make_views_from_pooled,
     scan_lag_sets,
     scan_shift_sets,
 )
@@ -159,19 +162,53 @@ def _make_decide(cfg: SimConfig):
 
 
 def _make_lib_min(cfg: SimConfig, fam_impl: str):
-    """Per-lag library minimum: (cand f32[B, L, P], lib) -> M f32[B, L]."""
-    from navdv_tpu.familiarity import distance_matrix
+    """Per-lag library minimum: (cand f32[B, L, P], lib, lag_sum f32[B, L],
+    lag_sq f32[B, L]) -> M f32[B, L].
+
+    The per-candidate statistics (pixel sum / squared sum) arrive precomputed
+    from the pooled panorama (sensor.make_lag_stats) so neither metric ever
+    re-reduces the extracted candidate tensor: SSD needs only the cross-term
+    matmul; NCC z-scores algebraically via
+    ``z_c . z_l = (c . z_l - mu_c * sum(z_l)) / sigma_c``.
+    """
+    from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY
+
+    p = float(cfg.sensor.n_pixels)
+    prec = jax.lax.Precision.HIGH
 
     if fam_impl == "jnp":
-        def lib_min(cand, lib):
-            d = jax.vmap(lambda c: distance_matrix(c, lib, cfg.scan.metric))(cand)
-            return jnp.min(d, axis=2)
-
+        if cfg.scan.metric == "ssd":
+            def lib_min(cand, lib, lag_sum, lag_sq):
+                pen = (1.0 - lib.valid) * PAD_PENALTY
+                cross = jnp.einsum(
+                    "blp,vp->blv", cand, lib.flat, precision=prec
+                )
+                d = lag_sq[:, :, None] + (lib.sq + pen)[None, None, :] - 2.0 * cross
+                return jnp.min(jnp.maximum(d, 0.0), axis=2)
+        elif cfg.scan.metric == "ncc":
+            def lib_min(cand, lib, lag_sum, lag_sq):
+                pen = (1.0 - lib.valid) * PAD_PENALTY
+                cross = jnp.einsum("blp,vp->blv", cand, lib.z, precision=prec)
+                mu = lag_sum / p
+                var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
+                sigma = jnp.sqrt(var + NCC_EPS)
+                zsum = jnp.sum(lib.z, axis=1)  # [Nl]
+                zdot = (cross - mu[:, :, None] * zsum[None, None, :]) / sigma[:, :, None]
+                d = 1.0 - zdot / p + pen[None, None, :]
+                return jnp.min(d, axis=2)
+        else:
+            raise ValueError(f"unknown familiarity metric {cfg.scan.metric!r}")
         return lib_min
+
     if fam_impl == "pallas":
         from navdv_tpu.ops.familiarity_pallas import make_lib_min_pallas
 
-        return make_lib_min_pallas(cfg.sensor, cfg.scan)
+        inner = make_lib_min_pallas(cfg.sensor, cfg.scan)
+
+        def lib_min(cand, lib, lag_sum, lag_sq):
+            return inner(cand, lib)
+
+        return lib_min
     raise ValueError(f"unknown fam_impl {fam_impl!r}")
 
 
@@ -215,6 +252,8 @@ def make_step_batched(
 
     lags, window_idx = scan_lag_sets(cfg.scan)
     lib_min = _make_lib_min(cfg, fam_impl)
+    pooled = make_pooled_panorama(cfg.sensor)
+    lag_stats = make_lag_stats(cfg.sensor, lags)
 
     p = cfg.sensor.n_pixels
     n_lags = len(lags)
@@ -225,14 +264,19 @@ def make_step_batched(
         else [(i, min(i + chunk, n_lags)) for i in range(0, n_lags, chunk)]
     )
     chunk_views = [
-        jax.vmap(make_candidate_views(cfg.sensor, lags[lo:hi]))
+        (lo, hi, make_views_from_pooled(cfg.sensor, lags[lo:hi]))
         for lo, hi in chunk_bounds
     ]
     window_idx_dev = jnp.asarray(window_idx)  # [Nh, 2t+1]
 
     def step(states: AgentState, st: EpisodeStatics):
         pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
-        parts = [lib_min(v(pano), st.lib) for v in chunk_views]
+        s = pooled(pano)  # [B, R, A]
+        lag_sum, lag_sq = lag_stats(s)  # [B, L] each
+        parts = [
+            lib_min(v(s), st.lib, lag_sum[:, lo:hi], lag_sq[:, lo:hi])
+            for lo, hi, v in chunk_views
+        ]
         m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # [B, L]
         if lib_axis is not None:
             # per-library-shard partial minima -> pmin across shards: the

@@ -220,15 +220,62 @@ def make_candidate_views(sensor: SensorConfig, shifts: np.ndarray):
     r, w, u = sensor.n_radial, sensor.n_azimuth, sensor.az_upsample
     ns = len(shifts)
     inv_u = 1.0 / u
+    pooled = make_pooled_panorama(sensor)
 
     def views(pano: jnp.ndarray) -> jnp.ndarray:
-        s = pano
-        for j in range(1, u):
-            s = s + jnp.roll(pano, -j, axis=1)
-        g = s[:, col_idx]  # [R, Ns, W]
+        g = pooled(pano)[:, col_idx]  # [R, Ns, W]
         return jnp.transpose(g, (1, 0, 2)).reshape(ns, r * w) * inv_u
 
     return views
+
+
+def make_pooled_panorama(sensor: SensorConfig):
+    """``pooled(pano f32[R, A]) -> S f32[R, A]`` with
+    ``S[r, a] = sum_{j<u} pano[r, (a+j) mod A]`` (u-1 rolled adds)."""
+    u = sensor.az_upsample
+
+    def pooled(pano: jnp.ndarray) -> jnp.ndarray:
+        s = pano
+        for j in range(1, u):
+            s = s + jnp.roll(pano, -j, axis=-1)
+        return s
+
+    return pooled
+
+
+def make_views_from_pooled(sensor: SensorConfig, shifts: np.ndarray):
+    """Candidate views from an already-pooled panorama S (batched):
+    ``views(S f32[B, R, A]) -> f32[B, Ns, P]``."""
+    col_idx = jnp.asarray(candidate_col_index(sensor, np.asarray(shifts)))
+    r, w, u = sensor.n_radial, sensor.n_azimuth, sensor.az_upsample
+    ns = len(shifts)
+    inv_u = 1.0 / u
+
+    def views(s: jnp.ndarray) -> jnp.ndarray:
+        g = s[:, :, col_idx]  # [B, R, Ns, W]
+        return jnp.transpose(g, (0, 2, 1, 3)).reshape(-1, ns, r * w) * inv_u
+
+    return views
+
+
+def make_lag_stats(sensor: SensorConfig, shifts: np.ndarray):
+    """Cheap per-lag candidate statistics straight from the pooled panorama:
+    ``stats(S f32[B, R, A]) -> (sum f32[B, Ns], sumsq f32[B, Ns])`` where
+    sum/sumsq are over the candidate's P pixels. O(A) per agent instead of a
+    full O(Ns*P) pass over the extracted candidates (profiled ~2.8 ms/step of
+    z-score reductions at BASELINE config 3)."""
+    col_idx = jnp.asarray(candidate_col_index(sensor, np.asarray(shifts)))
+    u = sensor.az_upsample
+    inv_u = 1.0 / u
+
+    def stats(s: jnp.ndarray):
+        colsum = jnp.sum(s, axis=1) * inv_u  # [B, A]
+        colsq = jnp.sum(s * s, axis=1) * (inv_u * inv_u)  # [B, A]
+        lag_sum = jnp.sum(colsum[:, col_idx], axis=2)  # [B, Ns]
+        lag_sq = jnp.sum(colsq[:, col_idx], axis=2)
+        return lag_sum, lag_sq
+
+    return stats
 
 
 def make_render_view(sensor: SensorConfig):
