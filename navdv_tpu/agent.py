@@ -314,28 +314,67 @@ def make_navigate(cfg: SimConfig, fam_impl: str = "jnp"):
 
 
 def make_navigate_batch_fn(
-    cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
+    cfg: SimConfig,
+    fam_impl: str = "jnp",
+    lib_axis: str | None = None,
+    early_exit: bool = False,
 ):
     """Unjitted batched episode fn (parallel/mesh.py wraps it in shard_map).
 
     ``(AgentState[B], statics) -> (final[B], StepRecord[B, T])``; record layout
     is batch-leading (transposed from scan's time-leading order).
+
+    ``early_exit`` uses a ``lax.while_loop`` that stops once EVERY agent is
+    done (sweep cells with short episodes finish early); records are
+    preallocated with ``done=True`` so untouched tail steps stay masked.
+    Identical results to the scan path (tests/test_early_exit.py).
     """
     step = make_step_batched(cfg, fam_impl, lib_axis)
+    t_max = cfg.agent.max_steps
+
+    if not early_exit:
+        def navigate(states0: AgentState, st: EpisodeStatics):
+            final, recs = jax.lax.scan(
+                lambda s, _: step(s, st), states0, None, length=t_max
+            )
+            recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
+            return final, recs
+
+        return navigate
 
     def navigate(states0: AgentState, st: EpisodeStatics):
-        final, recs = jax.lax.scan(
-            lambda s, _: step(s, st), states0, None, length=cfg.agent.max_steps
+        b = states0.theta.shape[0]
+        recs0 = StepRecord(
+            xy=jnp.zeros((t_max, b, 2), jnp.float32),
+            theta=jnp.zeros((t_max, b), jnp.float32),
+            fam=jnp.zeros((t_max, b), jnp.float32),
+            k=jnp.zeros((t_max, b), jnp.int32),
+            dist_route=jnp.zeros((t_max, b), jnp.float32),
+            done=jnp.ones((t_max, b), bool),  # untouched tail = masked
         )
+
+        def cond(carry):
+            t, states, _ = carry
+            return (t < t_max) & ~jnp.all(states.done)
+
+        def body(carry):
+            t, states, recs = carry
+            states2, rec = step(states, st)
+            recs2 = jax.tree.map(lambda buf, r: buf.at[t].set(r), recs, rec)
+            return (t + 1, states2, recs2)
+
+        _, final, recs = jax.lax.while_loop(cond, body, (0, states0, recs0))
         recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
         return final, recs
 
     return navigate
 
 
-def make_navigate_batch(cfg: SimConfig, fam_impl: str = "jnp"):
+def make_navigate_batch(
+    cfg: SimConfig, fam_impl: str = "jnp", early_exit: bool = False
+):
     """Batched trials (BASELINE config 4): jitted whole episodes for B agents."""
-    return jax.jit(make_navigate_batch_fn(cfg, fam_impl))
+    return jax.jit(make_navigate_batch_fn(cfg, fam_impl, early_exit=early_exit))
 
 
 def navigate(landscape, lib: LibraryPack, route, start_xy, start_theta, cfg: SimConfig,

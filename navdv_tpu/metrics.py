@@ -21,13 +21,17 @@ def episode_metrics(final: AgentState, rec: StepRecord) -> dict:
     denom = jnp.maximum(n_steps, 1)
     mean_err = jnp.sum(jnp.where(active, rec.dist_route, 0.0), axis=-1) / denom
     max_err = jnp.max(jnp.where(active, rec.dist_route, 0.0), axis=-1)
+    # familiarity at the last step actually taken (early-exit runs zero-pad
+    # the tail, so [..., -1] would be wrong there)
+    last_idx = jnp.maximum(n_steps - 1, 0)
+    final_fam = jnp.take_along_axis(rec.fam, last_idx[..., None], axis=-1)[..., 0]
     return {
         "success": final.status == STATUS_REACHED,
         "status": final.status,
         "n_steps": n_steps,
         "mean_path_error": mean_err,
         "max_path_error": max_err,
-        "final_fam": rec.fam[..., -1],
+        "final_fam": final_fam,
     }
 
 

@@ -115,7 +115,8 @@ def run_cell(
         st = shard_statics(st, mesh, shard_lib=shard_lib)
         nav = make_navigate_sharded(cfg, mesh, fam_impl=fam_impl, shard_lib=shard_lib)
     else:
-        nav = make_navigate_batch(cfg, fam_impl=fam_impl)
+        # early_exit: cells finish as soon as every trial resolves
+        nav = make_navigate_batch(cfg, fam_impl=fam_impl, early_exit=True)
     t0 = time.perf_counter()
     final, rec = jax.block_until_ready(nav(init_state(starts, thetas), st))
     wall = time.perf_counter() - t0

@@ -1,0 +1,50 @@
+"""Golden-trajectory regression anchor (SURVEY.md §4.3).
+
+``golden_oracle_small.npz`` is the frozen float64 oracle output for the
+standard small parity world (generated once; see the commit that added it).
+Any semantic drift — in the oracle itself or in the JAX path — trips here
+without re-running the oracle.
+"""
+
+import numpy as np
+import pytest
+
+from navdv_tpu import oracle
+from navdv_tpu.agent import STATUS_REACHED, init_state, make_navigate, make_statics
+from navdv_tpu.training import train_library
+
+GOLDEN = "tests/golden_oracle_small.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with np.load(GOLDEN) as f:
+        return {k: f[k] for k in f.files}
+
+
+def test_oracle_reproduces_golden(small_cfg, small_world, golden):
+    landscape, route = small_world
+    lib = oracle.train_library(landscape, route, small_cfg)
+    np.testing.assert_allclose(lib, golden["library"], atol=1e-12)
+    pts, hd = oracle.resample_route(route, small_cfg.capture_spacing)
+    out = oracle.navigate(landscape, lib, route, pts[0], hd[0], small_cfg)
+    assert bool(out["success"]) == bool(golden["success"])
+    np.testing.assert_array_equal(out["k"], golden["k"])
+    np.testing.assert_allclose(out["xy"], golden["xy"], atol=1e-10)
+
+
+def test_jax_path_matches_golden_statistics(small_cfg, small_world, golden):
+    """The jitted fp32 path recalls the same route with epsilon-close
+    familiarity at the golden poses (decision-level parity methodology of
+    test_agent.py, anchored to the frozen fixture)."""
+    import jax.numpy as jnp
+
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, hd = oracle.resample_route(route, small_cfg.capture_spacing)
+    final, rec = make_navigate(small_cfg)(init_state(pts[0], hd[0]), st)
+    assert int(final.status) == STATUS_REACHED
+    n_gold = len(golden["xy"])
+    n_jax = int((~np.asarray(rec.done)).sum())
+    assert abs(n_jax - n_gold) <= 5
