@@ -174,7 +174,11 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
     from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY
 
     p = float(cfg.sensor.n_pixels)
-    prec = jax.lax.Precision.HIGH
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[cfg.scan.matmul_precision]
 
     if fam_impl == "jnp":
         if cfg.scan.metric == "ssd":

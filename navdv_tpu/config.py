@@ -47,6 +47,12 @@ class ScanConfig:
     scan_step_bins: int = 2
     metric: str = "ssd"  # "ssd" | "ncc"
     tol_bins: int = 0  # RIDF rotation tolerance (fine bins), 0 = off
+    # MXU passes for the distance cross-term: "high" (bf16x3, ~fp32 quality,
+    # the default) | "highest" (bf16x6) | "default" (bf16x1 — ~2x faster
+    # steps but the SSD decomposition cancels catastrophically at bf16:
+    # measured recall collapse 1.00 -> 0.13 at BASELINE config 2. Only use
+    # with the success gate validated for your config.)
+    matmul_precision: str = "high"
 
     def shifts(self) -> list[int]:
         """Candidate fine-bin shifts relative to the current heading."""
