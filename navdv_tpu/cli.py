@@ -104,10 +104,13 @@ def cmd_sweep(args) -> None:
     size = (args.size, args.size)
     landscape = _load_world(args, size)
     route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
+    import numpy as np
+
+    steps = args.steps or int(np.hypot(*np.diff(route, axis=0).T).sum() * 1.3)
     if args.spec:
         spec = SweepSpec.from_json(args.spec)
     else:
-        spec = SweepSpec(n_trials=args.trials, max_steps=args.steps, seed=args.seed)
+        spec = SweepSpec(n_trials=args.trials, max_steps=steps, seed=args.seed)
     shard = None
     if args.shard:
         i, n = args.shard.split("/")
@@ -142,7 +145,8 @@ def main(argv=None) -> None:
     s = sub.add_parser("sweep", help="BASELINE config-5 grid with resume")
     _add_world_args(s)
     s.add_argument("--trials", type=int, default=256)
-    s.add_argument("--steps", type=int, default=256)
+    s.add_argument("--steps", type=int, default=None,
+                   help="default: route arc length * 1.3")
     s.add_argument("--out", default="out/sweep")
     s.add_argument("--shard", default=None, metavar="I/N",
                    help="run every N-th cell starting at I (array-job pattern)")
