@@ -68,7 +68,10 @@ def make_window_gather_pallas(
 
     def gather(landscape: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
         b = base_y.shape[0]
-        assert b % tb == 0, f"batch {b} must be a multiple of {tb}"
+        b_pad = -(-b // tb) * tb  # any batch size: pad with base-0 windows
+        if b_pad != b:
+            base_y = jnp.pad(base_y, (0, b_pad - b))
+            base_x = jnp.pad(base_x, (0, b_pad - b))
         wl = landscape.shape[1]
         assert wl >= BAND, f"landscape width {wl} < {BAND}; pad first"
         # 128-granular band start: off stays < 128 (or <= 232 at the right
@@ -77,7 +80,7 @@ def make_window_gather_pallas(
         off = base_x - bx_band  # in [0, BAND - wx]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # base_y, bx_band, off
-            grid=(b // tb,),
+            grid=(b_pad // tb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # landscape in HBM
             out_specs=pl.BlockSpec(
                 (tb, wy, wx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -87,11 +90,12 @@ def make_window_gather_pallas(
                 pltpu.SemaphoreType.DMA((tb,)),
             ],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b, wy, wx), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b_pad, wy, wx), jnp.float32),
             interpret=interpret,
         )(base_y, bx_band, off, landscape)
+        return out[:b]
 
     return gather

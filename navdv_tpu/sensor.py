@@ -130,10 +130,12 @@ def make_render_panorama(sensor: SensorConfig):
 
 def window_geometry(sensor: SensorConfig) -> tuple[int, int]:
     """(wy, wx) window shape for the batched renderer: x is the minimal
-    footprint cover; y adds 8 rows so the DMA start can align down to the
-    Mosaic sublane constraint (ops/window_pallas.py)."""
+    footprint cover; y covers the up-to-7-row align-down slack AND is itself a
+    multiple of 8 (Mosaic DMA requires 8-aligned sublane starts *and* slice
+    heights — ops/window_pallas.py)."""
     wx = window_size(sensor)
-    return wx + 8, wx
+    wy = -(-(wx + 7) // 8) * 8
+    return wy, wx
 
 
 def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
