@@ -88,14 +88,6 @@ def run_bench(config_n: int = 1, batch: int = 1024, steps: int | None = None,
     }
 
 
-def _has_pallas() -> bool:
-    try:
-        from navdv_tpu.ops.familiarity_pallas import make_familiarity_pallas  # noqa: F401
-        return True
-    except Exception:
-        return False
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1)

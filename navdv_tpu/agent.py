@@ -171,14 +171,10 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
     matmul; NCC z-scores algebraically via
     ``z_c . z_l = (c . z_l - mu_c * sum(z_l)) / sigma_c``.
     """
-    from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY
+    from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY, matmul_precision
 
     p = float(cfg.sensor.n_pixels)
-    prec = {
-        "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[cfg.scan.matmul_precision]
+    prec = matmul_precision(cfg.scan.matmul_precision)
 
     if fam_impl == "jnp":
         if cfg.scan.metric == "ssd":

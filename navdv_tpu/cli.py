@@ -110,7 +110,12 @@ def cmd_sweep(args) -> None:
     if args.spec:
         spec = SweepSpec.from_json(args.spec)
     else:
-        spec = SweepSpec(n_trials=args.trials, max_steps=steps, seed=args.seed)
+        spec = SweepSpec(
+            n_trials=args.trials,
+            max_steps=steps,
+            seed=args.seed,
+            start_anywhere=args.start_anywhere,
+        )
     shard = None
     if args.shard:
         i, n = args.shard.split("/")
@@ -151,6 +156,8 @@ def main(argv=None) -> None:
     s.add_argument("--shard", default=None, metavar="I/N",
                    help="run every N-th cell starting at I (array-job pattern)")
     s.add_argument("--spec", default=None, help="SweepSpec JSON file")
+    s.add_argument("--start-anywhere", action="store_true",
+                   help="start trials uniformly along the route (harder task)")
     s.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)

@@ -52,6 +52,8 @@ class ScanConfig:
     # steps but the SSD decomposition cancels catastrophically at bf16:
     # measured recall collapse 1.00 -> 0.13 at BASELINE config 2. Only use
     # with the success gate validated for your config.)
+    # Honored by fam_impl "jnp" and "conv"; the Pallas kernel is pinned to
+    # HIGHEST (Mosaic does not support HIGH dot precision inside kernels).
     matmul_precision: str = "high"
 
     def shifts(self) -> list[int]:

@@ -23,6 +23,19 @@ NCC_EPS = 1e-8
 
 PAD_PENALTY = 1e30  # added to padded library columns; they never win the min
 
+# ScanConfig.matmul_precision values -> MXU pass counts (config.py notes);
+# honored by every matmul familiarity path (jnp + conv). The Pallas kernel is
+# pinned to HIGHEST by a Mosaic constraint (no HIGH inside kernels).
+MATMUL_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def matmul_precision(name: str) -> jax.lax.Precision:
+    return MATMUL_PRECISIONS[name]
+
 
 class LibraryPack(NamedTuple):
     """Device-resident training library, preprocessed per metric.
@@ -68,7 +81,7 @@ def _pad_penalty(lib: LibraryPack) -> jnp.ndarray:
 def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
     """d[s, v] = sum((cand_s - lib_v)^2) via the matmul decomposition."""
     cand_sq = jnp.sum(cand * cand, axis=1)  # [Ns]
-    # HIGHEST: fp32 MXU passes — the decomposition cancels catastrophically in bf16
+    # HIGH (bf16x3): the decomposition cancels catastrophically at plain bf16
     cross = jnp.dot(cand, lib.flat.T, precision=jax.lax.Precision.HIGH)  # [Ns, Nl]
     d = cand_sq[:, None] + lib.sq[None, :] - 2.0 * cross
     return jnp.maximum(d, 0.0) + _pad_penalty(lib)  # clamp fp cancellation noise

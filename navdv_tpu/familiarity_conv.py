@@ -20,10 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from navdv_tpu.config import ScanConfig, SensorConfig
-from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY, LibraryPack
+from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY, LibraryPack, matmul_precision
 from navdv_tpu.sensor import scan_lag_sets
-
-_PREC = jax.lax.Precision.HIGH
 
 
 def conv_lag_geometry(sensor: SensorConfig, scan: ScanConfig):
@@ -39,7 +37,7 @@ def conv_lag_geometry(sensor: SensorConfig, scan: ScanConfig):
     return lags, window_idx, qmin, qrange, lag_rows
 
 
-def _conv1d(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def _conv1d(lhs: jnp.ndarray, rhs: jnp.ndarray, prec) -> jnp.ndarray:
     """lhs f32[N, C, WIDTH] (*) rhs f32[O, C, W] -> f32[N, O, WIDTH-W+1]."""
     return jax.lax.conv_general_dilated(
         lhs,
@@ -47,7 +45,7 @@ def _conv1d(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_PREC,
+        precision=prec,
     )
 
 
@@ -59,6 +57,7 @@ def make_fam_conv(sensor: SensorConfig, scan: ScanConfig):
     """
     if scan.metric not in ("ssd", "ncc"):
         raise ValueError(f"unknown familiarity metric {scan.metric!r}")
+    prec = matmul_precision(scan.matmul_precision)
     u, r, w = sensor.az_upsample, sensor.n_radial, sensor.n_azimuth
     a = sensor.n_fine
     p = sensor.n_pixels
@@ -83,18 +82,18 @@ def make_fam_conv(sensor: SensorConfig, scan: ScanConfig):
         pen = (1.0 - lib.valid) * PAD_PENALTY
         if scan.metric == "ssd":
             rhs = lib.flat.reshape(-1, r, w)
-            cross = _conv1d(lhs, rhs)  # [B*u, Nl, qrange]
+            cross = _conv1d(lhs, rhs, prec)  # [B*u, Nl, qrange]
             ones = jnp.ones((1, r, w), jnp.float32)
-            rowsq = _conv1d(lhs * lhs, ones)  # [B*u, 1, qrange]
+            rowsq = _conv1d(lhs * lhs, ones, prec)  # [B*u, 1, qrange]
             gamma = lib.sq + pen
             d = rowsq + gamma[None, :, None] - 2.0 * cross
             d = jnp.maximum(d, 0.0) + 0.0  # clamp fp cancellation
         else:
             zlib = lib.z.reshape(-1, r, w)
-            cross = _conv1d(lhs, zlib)  # [B*u, Nl, qrange]
+            cross = _conv1d(lhs, zlib, prec)  # [B*u, Nl, qrange]
             ones = jnp.ones((1, r, w), jnp.float32)
-            rowsum = _conv1d(lhs, ones)  # [B*u, 1, qrange]
-            rowsq = _conv1d(lhs * lhs, ones)
+            rowsum = _conv1d(lhs, ones, prec)  # [B*u, 1, qrange]
+            rowsq = _conv1d(lhs * lhs, ones, prec)
             mu = rowsum / p
             var = jnp.maximum(rowsq / p - mu * mu, 0.0)
             sigma = jnp.sqrt(var + NCC_EPS)

@@ -81,7 +81,7 @@ def make_window_gather_pallas(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # base_y, bx_band, off
             grid=(b_pad // tb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # landscape in HBM
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # landscape in HBM
             out_specs=pl.BlockSpec(
                 (tb, wy, wx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),

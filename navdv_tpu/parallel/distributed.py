@@ -14,24 +14,38 @@ work identically on a multi-host mesh.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 
 from navdv_tpu.parallel.mesh import make_mesh
 
+logger = logging.getLogger(__name__)
+
 
 def init_distributed(**kwargs) -> None:
-    """Initialize multi-host JAX if this looks like a multi-host environment
-    (JAX auto-detects TPU pod topology); safe no-op on a single host."""
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
+    """Initialize multi-host JAX (JAX auto-detects TPU pod topology).
+
+    Safe no-op when already initialized or on a plain single-host setup. A
+    failure with explicit ``kwargs`` (coordinator_address etc.) is a real
+    misconfiguration and re-raises; the implicit single-host case logs the
+    reason instead of silently swallowing it.
+    """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        logger.info("jax.distributed already initialized; skipping")
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        # single-host / unsupported platform: local devices only
-        pass
+    except Exception as e:
+        if kwargs:
+            # the caller asked for a specific topology — surface the failure
+            raise
+        logger.info(
+            "jax.distributed.initialize unavailable (%s: %s); "
+            "continuing with local devices only",
+            type(e).__name__,
+            e,
+        )
 
 
 def global_mesh(n_lib: int = 1):

@@ -132,8 +132,8 @@ def make_navigate_sharded(
 
     Agents are sharded over DATA_AXIS (pure DP). With ``shard_lib`` the
     library is sharded over LIB_AXIS and per-shard familiarity minima are
-    ``lax.pmin``-ed inside every step. Batch B must divide mesh.shape[data];
-    statics must come from :func:`shard_statics`.
+    ``lax.pmin``-ed inside every step. Batch B must be a multiple of the
+    data-axis size; statics must come from :func:`shard_statics`.
     """
     lib_axis = LIB_AXIS if shard_lib and mesh.shape[LIB_AXIS] > 1 else None
     navigate_local = make_navigate_batch_fn(cfg, fam_impl=fam_impl, lib_axis=lib_axis)

@@ -121,7 +121,7 @@ def make_render_panorama(sensor: SensorConfig):
         ys = jnp.clip(fy + s * dx0 + c * dy0, 0.0, wsz - 1.0)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - iota_w))  # [R, A, W]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[..., None] - iota_w))  # [R, A, W]
-        # bf16 MXU passes lose ~6e-2 absolute here; HIGHEST keeps parity
+        # plain-bf16 MXU passes lose ~6e-2 absolute here; HIGH (bf16x3) keeps parity
         t = jnp.einsum("rap,pq->raq", wy, win, precision=jax.lax.Precision.HIGH)
         return jnp.sum(t * wx, axis=-1)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import json
+import logging
 import os
 import time
 
@@ -27,6 +28,8 @@ from navdv_tpu.checkpoint import load_results, save_results
 from navdv_tpu.config import AgentConfig, ScanConfig, SensorConfig, SimConfig
 from navdv_tpu.metrics import episode_metrics
 from navdv_tpu.trials import make_trials
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +48,9 @@ class SweepSpec:
     n_trials: int = 256
     max_steps: int = 256
     seed: int = 0
+    # start trials uniformly along the route instead of at its start (the
+    # harder "recall from anywhere" task; trials.make_trials)
+    start_anywhere: bool = False
 
     @classmethod
     def from_json(cls, path: str) -> "SweepSpec":
@@ -63,6 +69,9 @@ class SweepSpec:
         return cls(**kw)
 
     def cells(self):
+        """Yields ``(key, cfg, params)`` per grid cell; ``params`` carries the
+        structured axis values (also persisted into each cell's results as
+        ``ax_*`` entries, so downstream plots never parse key strings)."""
         for (px, gran, spacing) in itertools.product(
             self.sensor_px, self.scan_granularity, self.capture_spacing
         ):
@@ -79,8 +88,13 @@ class SweepSpec:
                 agent=AgentConfig(max_steps=self.max_steps),
                 capture_spacing=spacing,
             )
-            key = f"px{w}x{r}u{u}_scan{nh}x{step_bins}_sp{spacing}"
-            yield key, cfg
+            params = {
+                "px": f"{w}x{r}u{u}",
+                "scan": f"{nh}x{step_bins}",
+                "spacing": spacing,
+            }
+            key = f"px{params['px']}_scan{params['scan']}_sp{spacing}"
+            yield key, cfg, params
 
 
 def run_cell(
@@ -91,19 +105,27 @@ def run_cell(
     seed: int,
     fam_impl: str = "jnp",
     mesh=None,
+    start_anywhere: bool = False,
 ) -> dict:
     """Train on the route, run n_trials randomized recall episodes, aggregate.
 
     With ``mesh`` (jax.sharding.Mesh from parallel.make_mesh), trials shard
     over the data axis and the library over the lib axis — one cell spanning
-    all chips (n_trials must divide the data-axis size).
+    all chips (n_trials must be a multiple of the data-axis size).
+
+    Timing discipline: the episode runs once for warmup/compile, then once
+    timed; ``agent_steps_per_s`` counts the agent-steps that actually executed
+    (sum of per-trial active steps — the early-exit path stops a cell once
+    every trial resolves), not ``n_trials * max_steps``.
     """
     from navdv_tpu.training import train_library
 
     land_dev = jnp.asarray(landscape)
     lib = train_library(land_dev, route, cfg)
     st = make_statics(land_dev, lib, route)
-    starts, thetas = make_trials(route, cfg, n_trials, seed=seed)
+    starts, thetas = make_trials(
+        route, cfg, n_trials, seed=seed, start_anywhere=start_anywhere
+    )
     if mesh is not None:
         from navdv_tpu.parallel.mesh import (
             LIB_AXIS,
@@ -117,10 +139,13 @@ def run_cell(
     else:
         # early_exit: cells finish as soon as every trial resolves
         nav = make_navigate_batch(cfg, fam_impl=fam_impl, early_exit=True)
+    states0 = init_state(starts, thetas)
+    jax.block_until_ready(nav(states0, st))  # warmup: compile + first run
     t0 = time.perf_counter()
-    final, rec = jax.block_until_ready(nav(init_state(starts, thetas), st))
+    final, rec = jax.block_until_ready(nav(states0, st))
     wall = time.perf_counter() - t0
     m = episode_metrics(final, rec)
+    executed_steps = float(jnp.sum(m["n_steps"]))
     return {
         "success_rate": np.asarray(jnp.mean(m["success"].astype(jnp.float32))),
         "mean_steps": np.asarray(jnp.mean(m["n_steps"].astype(jnp.float32))),
@@ -130,28 +155,26 @@ def run_cell(
         "n_library_views": np.asarray(lib.views.shape[0]),
         "n_trials": np.asarray(n_trials),
         "wall_s": np.asarray(wall),
-        "agent_steps_per_s": np.asarray(n_trials * cfg.agent.max_steps / wall),
+        "executed_steps": np.asarray(executed_steps),
+        "agent_steps_per_s": np.asarray(executed_steps / wall),
     }
 
 
 def _log_tensorboard(out_dir: str, key: str, res: dict) -> None:
-    """Optional tensorboard scalars per cell (SURVEY.md §5.5); no-op when
-    tensorboard isn't importable."""
+    """Tensorboard scalars per cell (SURVEY.md §5.5), via the torch (cpu)
+    writer in the pinned stack. Failures are logged, never swallowed silently
+    (exercised by tests/test_sweep.py::test_tensorboard_logging)."""
     try:
-        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
-        writer_cls = SummaryWriter
-    except Exception:
-        try:
-            from tensorboardX import SummaryWriter as writer_cls  # noqa: F401
-        except Exception:
-            return
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception as e:  # pragma: no cover - stack always has torch here
+        logger.warning("tensorboard writer unavailable (%s); skipping scalars", e)
+        return
+    w = SummaryWriter(log_dir=os.path.join(out_dir, "tb", key))
     try:
-        w = writer_cls(log_dir=os.path.join(out_dir, "tb", key))
         for name in ("success_rate", "mean_path_error", "agent_steps_per_s"):
             w.add_scalar(name, float(res[name]), 0)
+    finally:
         w.close()
-    except Exception:
-        pass
 
 
 def run_sweep(
@@ -163,6 +186,7 @@ def run_sweep(
     verbose: bool = True,
     shard: tuple[int, int] | None = None,
     mesh=None,
+    tensorboard: bool = True,
 ) -> dict:
     """Run every cell, resuming from ``out_dir`` (cells with a result file are
     skipped). Returns {cell_key: results} and writes summary.json.
@@ -174,7 +198,7 @@ def run_sweep(
     """
     os.makedirs(out_dir, exist_ok=True)
     all_results = {}
-    for idx, (key, cfg) in enumerate(spec.cells()):
+    for idx, (key, cfg, params) in enumerate(spec.cells()):
         if shard is not None and idx % shard[1] != shard[0]:
             continue
         path = os.path.join(out_dir, f"cell_{key}.npz")
@@ -183,10 +207,24 @@ def run_sweep(
             if verbose:
                 print(f"[sweep] {key}: resumed from disk")
             continue
-        res = run_cell(landscape, route, cfg, spec.n_trials, spec.seed, fam_impl, mesh=mesh)
+        res = run_cell(
+            landscape,
+            route,
+            cfg,
+            spec.n_trials,
+            spec.seed,
+            fam_impl,
+            mesh=mesh,
+            start_anywhere=spec.start_anywhere,
+        )
+        # carry the structured axis values with the results (viz reads these,
+        # never the key string)
+        for name, value in params.items():
+            res[f"ax_{name}"] = np.asarray(value)
         save_results(path, res)
         all_results[key] = res
-        _log_tensorboard(out_dir, key, res)
+        if tensorboard:
+            _log_tensorboard(out_dir, key, res)
         if verbose:
             print(
                 f"[sweep] {key}: success={float(res['success_rate']):.3f} "

@@ -62,14 +62,24 @@ def plot_familiarity_trace(rec, path: str) -> str:
 
 
 def plot_sweep_heatmap(results: dict, axis_x: str, axis_y: str, path: str) -> str:
-    """Success-rate heatmap over two sweep axes parsed from cell keys."""
-    # cell keys look like px72x16u5_scan60x2_sp1.0
+    """Success-rate heatmap over two sweep axes.
+
+    ``axis_x`` / ``axis_y`` name SweepSpec axes ("px", "scan", "spacing");
+    their values come from the structured ``ax_<axis>`` entries each cell's
+    results carry (sweep.run_sweep), never from parsing cell-key strings.
+    Cells sharing an (x, y) value pair (a third swept axis) keep the last one
+    seen."""
     rows = {}
     for key, res in results.items():
-        parts = dict(p[:2] for p in [("px", key.split("_")[0][2:]),
-                                     ("sc", key.split("_")[1][4:]),
-                                     ("sp", key.split("_")[2][2:])])
-        rows[(parts[axis_y[:2]], parts[axis_x[:2]])] = float(res["success_rate"])
+        try:
+            y = str(np.asarray(res[f"ax_{axis_y}"]))
+            x = str(np.asarray(res[f"ax_{axis_x}"]))
+        except KeyError as e:
+            raise KeyError(
+                f"cell {key!r} has no structured axis entry {e.args[0]!r} — "
+                "re-run the sweep (older result files predate ax_* metadata)"
+            ) from None
+        rows[(y, x)] = float(res["success_rate"])
     ys = sorted({k[0] for k in rows})
     xs = sorted({k[1] for k in rows})
     mat = np.full((len(ys), len(xs)), np.nan)

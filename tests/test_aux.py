@@ -67,7 +67,7 @@ def test_sweepspec_json_roundtrip(tmp_path):
     p.write_text(json.dumps(spec))
     got = SweepSpec.from_json(str(p))
     assert got.metric == "ncc" and got.n_trials == 7
-    keys = [k for k, _ in got.cells()]
+    keys = [k for k, _, _ in got.cells()]
     assert len(keys) == 2
 
 

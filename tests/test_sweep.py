@@ -62,7 +62,60 @@ def test_sweep_sharding_unions_to_full_grid(small_world, tmp_path):
     r0 = run_sweep(landscape, route, spec, out, verbose=False, shard=(0, 2))
     r1 = run_sweep(landscape, route, spec, out, verbose=False, shard=(1, 2))
     assert len(r0) == 1 and len(r1) == 1
-    assert set(r0) | set(r1) == {k for k, _ in spec.cells()}
+    assert set(r0) | set(r1) == {k for k, _, _ in spec.cells()}
+
+
+def test_sweep_heatmap_uses_structured_metadata(small_world, tmp_path):
+    """The heatmap reads ax_* entries from results — renaming every cell key
+    (as a SweepSpec axis rename would) must not break it."""
+    from navdv_tpu import viz
+
+    landscape, route = small_world
+    spec = _tiny_spec()
+    out = str(tmp_path / "s")
+    res = run_sweep(landscape, route, spec, out, verbose=False, tensorboard=False)
+    renamed = {f"arbitrary_cell_{i}": v for i, v in enumerate(res.values())}
+    p = viz.plot_sweep_heatmap(renamed, "scan", "spacing", str(tmp_path / "h.png"))
+    assert os.path.getsize(p) > 1000
+    # a missing axis entry fails loudly, not with a silently wrong plot
+    import pytest
+
+    broken = {k: {kk: vv for kk, vv in v.items() if kk != "ax_scan"}
+              for k, v in res.items()}
+    with pytest.raises(KeyError):
+        viz.plot_sweep_heatmap(broken, "scan", "spacing", str(tmp_path / "h2.png"))
+
+
+def test_tensorboard_logging(small_world, tmp_path):
+    """Per-cell scalars land as real tensorboard event files (SURVEY.md §5.5)."""
+    landscape, route = small_world
+    spec = _tiny_spec()
+    out = str(tmp_path / "tbsweep")
+    res = run_sweep(landscape, route, spec, out, verbose=False)
+    for key in res:
+        cell_dir = os.path.join(out, "tb", key)
+        assert os.path.isdir(cell_dir), cell_dir
+        events = [f for f in os.listdir(cell_dir) if "tfevents" in f]
+        assert events, f"no event file in {cell_dir}"
+        assert os.path.getsize(os.path.join(cell_dir, events[0])) > 0
+
+
+def test_trials_start_anywhere(small_cfg, small_world):
+    """start_anywhere spreads starts along the route; episodes then finish in
+    fewer steps (they begin closer to the goal on average) while recall on a
+    feature-rich landscape stays alive."""
+    landscape, route = small_world
+    s_any, _ = make_trials(route, small_cfg, 64, seed=1, start_anywhere=True)
+    s_start, _ = make_trials(route, small_cfg, 64, seed=1)
+    span = np.ptp(s_any[:, 0]) + np.ptp(s_any[:, 1])
+    span0 = np.ptp(s_start[:, 0]) + np.ptp(s_start[:, 1])
+    assert span > 2.0 * span0, (span, span0)
+
+    res_any = run_cell(landscape, route, small_cfg, n_trials=16, seed=0,
+                       start_anywhere=True)
+    res_start = run_cell(landscape, route, small_cfg, n_trials=16, seed=0)
+    assert float(res_any["mean_steps"]) < float(res_start["mean_steps"])
+    assert float(res_any["success_rate"]) > 0.5
 
 
 def test_load_landscape_roundtrip(tmp_path):
