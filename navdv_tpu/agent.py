@@ -250,6 +250,29 @@ def make_step_batched(
 
         return step
 
+    if fam_impl == "fft":
+        # spectral path: the whole lag scan as circular correlation via DFT
+        # matmuls — no candidate tensor at all (familiarity_fft.py)
+        from navdv_tpu.familiarity_fft import make_lib_min_fft
+
+        lags, window_idx = scan_lag_sets(cfg.scan)
+        lib_min_fft = make_lib_min_fft(cfg.sensor, cfg.scan, lags)
+        pooled_f = make_pooled_panorama(cfg.sensor)
+        lag_stats_f = make_lag_stats(cfg.sensor, lags)
+        window_idx_f = jnp.asarray(window_idx)
+
+        def step(states: AgentState, st: EpisodeStatics):
+            pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
+            s = pooled_f(pano)
+            lag_sum, lag_sq = lag_stats_f(s)
+            m = lib_min_fft(s, st.lib, lag_sum, lag_sq)  # [B, L]
+            if lib_axis is not None:
+                m = jax.lax.pmin(m, lib_axis)
+            fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
+            return decide(states, fam, st)
+
+        return step
+
     lags, window_idx = scan_lag_sets(cfg.scan)
     lib_min = _make_lib_min(cfg, fam_impl)
     pooled = make_pooled_panorama(cfg.sensor)

@@ -21,7 +21,7 @@ def _add_world_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--route", default="sine", choices=["line", "sine"])
     p.add_argument("--route-length", type=float, default=200.0)
-    p.add_argument("--impl", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument("--impl", default="jnp", choices=["jnp", "fft", "conv", "pallas"])
 
 
 def cmd_demo(args) -> None:
@@ -142,8 +142,8 @@ def main(argv=None) -> None:
 
     b = sub.add_parser("bench", help="throughput harness")
     b.add_argument("--config", type=int, default=1)
-    b.add_argument("--batch", type=int, default=1024)
-    b.add_argument("--steps", type=int, default=256)
+    b.add_argument("--batch", type=int, default=None)
+    b.add_argument("--steps", type=int, default=None)
     b.add_argument("--impl", default="default")
     b.set_defaults(fn=cmd_bench)
 

@@ -25,6 +25,13 @@ class SensorConfig:
     az_upsample: int = 5
     r_min: float = 2.0
     r_max: float = 10.0
+    # dtype of the bilinear hat-weight tensors in the batched renderer:
+    # "float32" (exact bilinear, parity-tested vs the gather renderer) or
+    # "bfloat16" (~2x renderer speed: the hat tensors dominate HBM traffic;
+    # weights lose <=2^-9 relative -> ~1e-3 pixel noise, accumulation stays
+    # f32. Route-recall measured unchanged at BASELINE configs 1-3 — the
+    # bench accuracy gate is the arbiter, SEMANTICS.md §3 note).
+    hat_dtype: str = "float32"
 
     @property
     def n_fine(self) -> int:
@@ -92,21 +99,40 @@ class SimConfig:
 # --- BASELINE.json benchmark configurations (BASELINE.md table) -------------
 
 def baseline_config(n: int) -> SimConfig:
-    """The five driver-specified benchmark configs (/root/repo/BASELINE.json:7-11)."""
+    """The five driver-specified benchmark configs (/root/repo/BASELINE.json:7-11).
+
+    Benchmark configs 1–4 run the bfloat16 hat-weight renderer: route-recall
+    is measured unchanged at these workloads (the bench accuracy gate checks
+    it every run) and the renderer is ~2x faster. Library density (the
+    "~50 / 500 stored views" of the spec) is a property of the route +
+    ``capture_spacing``; bench.py sizes spacing so the spec'd view count comes
+    out exactly (BASELINE.md).
+    """
     if n == 1:  # ~50 stored 72x16 views, 60-heading SSD scan
-        return SimConfig()
+        return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))
     if n == 2:  # dense library: 500 views, 1-degree scan steps
         return SimConfig(
+            sensor=SensorConfig(hat_dtype="bfloat16"),
             scan=ScanConfig(n_headings=120, scan_step_bins=1),
             capture_spacing=0.2,
         )
     if n == 3:  # high-res sensors: 360x64 px, NCC + rotation tolerance
         return SimConfig(
-            sensor=SensorConfig(n_radial=64, n_azimuth=360, az_upsample=1),
+            sensor=SensorConfig(
+                n_radial=64, n_azimuth=360, az_upsample=1, hat_dtype="bfloat16"
+            ),
             scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc", tol_bins=3),
         )
     if n == 4:  # batched trials: 1024 vmapped agents (batching set by caller)
-        return SimConfig()
+        return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))
     if n == 5:  # sweep grid — cells built by navdv_tpu.sweep
         return SimConfig()
     raise ValueError(f"unknown baseline config {n}")
+
+
+def baseline_fam_impl(n: int) -> str:
+    """Fastest measured familiarity impl per benchmark config (v5e-1, round 2):
+    the spectral (fft) path wins everywhere except the dense-library config 2,
+    where the extract-then-matmul jnp path is ~1.4x faster (the [B, Nl, F]
+    spectrum tensor at Nl=500 is HBM-bound)."""
+    return {1: "fft", 2: "jnp", 3: "fft", 4: "fft", 5: "jnp"}[n]

@@ -1,0 +1,163 @@
+"""Spectral familiarity path: the whole lag scan as circular cross-correlation.
+
+Structural insight (extends SURVEY.md §3.3): every candidate view is a
+stride-``u`` slice of the pooled panorama at offset ``lag`` — its pixels tile
+the FULL azimuth circle (W·u == A always). The per-lag cross term
+
+    cross[b, l, v] = sum_{r,w} S[b, r, (w·u + l) mod A] · lib[v, r, w]
+
+is therefore a *circular correlation* over azimuth between the pooled panorama
+and the zero-upsampled library row, for every lag at once:
+
+    cross[b, ·, v] = IDFT( DFT(S[b, r, :]) · conj(DFT(zu[v, r, :])) ) summed over r
+
+with ``zu[v, r, w·u] = lib[v, r, w]`` (zeros elsewhere). This removes the
+[B, L, P] candidate tensor entirely — the round-1 config-3 bottleneck moved
+~GB/step of extracted candidates (STATUS.md round 1).
+
+TPU-first formulation: XLA's FFT lowers poorly on TPU (measured 0.8–1.7 ms
+for the rfft alone at BASELINE config-3 shapes), so both transforms are
+written as dense DFT *matmuls* on the MXU — exact, and the inverse transform
+synthesizes only the L lags the scan actually needs:
+
+    SRE/SIM  = S · Wre/Wim                  [B·R, A] @ [A, F]
+    ZRE/ZIM  = lib · ZWre/ZWim              [Nl·R, W] @ [W, F]   (hoisted out
+                                            of the episode scan by XLA — it
+                                            depends only on the library)
+    Gre      = Σ_r SRE·ZRE + SIM·SIM'       'brf,vrf->bvf'
+    Gim      = Σ_r SIM·ZRE − SRE·ZIM
+    cross    = Gre · Vre + Gim · Vim        [B·Nl, F] @ [F, L]
+
+where F = A//2 + 1 real-signal bins and Vre/Vim fold the hermitian-symmetry
+weights (w_k = 2 except DC/Nyquist) and the 1/A normalization.
+
+Numerics: exact circular correlation up to fp32 rounding (~1e-6 relative,
+far tighter than the bf16x3 matmul passes the extract-then-matmul path uses).
+Parity with familiarity.distance_matrix: tests/test_fft_fam.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from navdv_tpu.config import ScanConfig, SensorConfig
+from navdv_tpu.familiarity import (
+    NCC_EPS,
+    PAD_PENALTY,
+    LibraryPack,
+    matmul_precision,
+)
+
+
+def _forward_weights(a: int) -> tuple[np.ndarray, np.ndarray]:
+    """DFT analysis weights: SF[k] = sum_a s[a] e^{-i 2π k a / A}.
+    Returns (Wre, Wim) f32[A, F]."""
+    f = a // 2 + 1
+    k = np.arange(f)
+    ang = -2.0 * np.pi * np.outer(np.arange(a), k) / a  # [A, F]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _library_weights(w: int, u: int, a: int) -> tuple[np.ndarray, np.ndarray]:
+    """Analysis weights for the zero-upsampled library row (support at w·u):
+    ZF[k] = sum_w z[w] e^{-i 2π k (w u) / A}. Returns (ZWre, ZWim) f32[W, F]."""
+    f = a // 2 + 1
+    k = np.arange(f)
+    ang = -2.0 * np.pi * np.outer(np.arange(w) * u, k) / a  # [W, F]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _inverse_lag_weights(a: int, lags: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Real-IDFT synthesis weights evaluated only at ``lags``:
+    c[l] = sum_k w_k (Gre[k] cos(2π k l / A) − Gim[k] sin(2π k l / A)) / A
+    with w_k = 2 for the doubled hermitian bins, 1 for DC (and Nyquist when A
+    is even). Returns (Vre, Vim) f32[F, L]."""
+    f = a // 2 + 1
+    k = np.arange(f)
+    wk = np.full(f, 2.0)
+    wk[0] = 1.0
+    if a % 2 == 0:
+        wk[-1] = 1.0
+    ang = 2.0 * np.pi * np.outer(k, np.asarray(lags)) / a  # [F, L]
+    vre = (wk[:, None] * np.cos(ang)) / a
+    vim = -(wk[:, None] * np.sin(ang)) / a
+    return vre.astype(np.float32), vim.astype(np.float32)
+
+
+def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
+    """Per-lag library minimum via spectral correlation:
+    ``lib_min(S f32[B, R, A], lib, lag_sum f32[B, L], lag_sq f32[B, L]) ->
+    M f32[B, L]`` — same contract as agent._make_lib_min's jnp path but
+    consuming the pooled panorama directly (no candidate extraction).
+    """
+    if scan.metric not in ("ssd", "ncc"):
+        raise ValueError(f"unknown familiarity metric {scan.metric!r}")
+    a = sensor.n_fine
+    r, w = sensor.n_radial, sensor.n_azimuth
+    u = sensor.az_upsample
+    p = float(sensor.n_pixels)
+    prec = matmul_precision(scan.matmul_precision)
+
+    wre, wim = map(jnp.asarray, _forward_weights(a))
+    zwre, zwim = map(jnp.asarray, _library_weights(w, u, a))
+    vre, vim = map(jnp.asarray, _inverse_lag_weights(a, np.asarray(lags)))
+    inv_u = 1.0 / u
+
+    def _cross(s: jnp.ndarray, zrows: jnp.ndarray) -> jnp.ndarray:
+        """(S f32[B,R,A], zrows f32[Nl, P]) -> cross f32[B, Nl, L] where
+        cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)]."""
+        b = s.shape[0]
+        nl = zrows.shape[0]
+        flat = s.reshape(b * r, a)
+        # every matmul below must honor prec: plain `@` would run bf16x1 on
+        # TPU, and DFT coefficients reach ~A·mean magnitude, so 0.4% bf16
+        # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
+        sre = jnp.dot(flat, wre, precision=prec).reshape(b, r, -1)
+        sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
+        z = zrows.reshape(nl * r, w)
+        # library spectrum: depends only on statics -> XLA hoists it out of
+        # the episode scan (loop-invariant code motion)
+        zre = jnp.dot(z, zwre, precision=prec).reshape(nl, r, -1)
+        zim = jnp.dot(z, zwim, precision=prec).reshape(nl, r, -1)
+        # stack re/im into the contraction axis: two einsums with a 2R-deep
+        # contraction (a full 128 MXU tile at config 3) instead of four R-deep
+        # ones — same FLOPs, ~2x fewer passes
+        zc = jnp.concatenate([zre, zim], axis=1)  # [Nl, 2R, F]
+        sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
+        sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
+        gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
+        gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prec)
+        f = gre.shape[-1]
+        cross = (
+            jnp.dot(gre.reshape(b * nl, f), vre, precision=prec)
+            + jnp.dot(gim.reshape(b * nl, f), vim, precision=prec)
+        ).reshape(b, nl, -1)
+        return cross * inv_u
+
+    if scan.metric == "ssd":
+
+        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq):
+            cross = _cross(s, lib.flat)  # [B, Nl, L]
+            pen = (1.0 - lib.valid) * PAD_PENALTY
+            d = (
+                lag_sq[:, None, :]
+                + (lib.sq + pen)[None, :, None]
+                - 2.0 * cross
+            )
+            return jnp.min(jnp.maximum(d, 0.0), axis=1)  # [B, L]
+
+        return lib_min
+
+    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq):
+        cross = _cross(s, lib.z)  # [B, Nl, L] = cand . z_v (unnormalized cand)
+        pen = (1.0 - lib.valid) * PAD_PENALTY
+        mu = lag_sum / p
+        var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
+        sigma = jnp.sqrt(var + NCC_EPS)
+        zsum = jnp.sum(lib.z, axis=1)  # [Nl] (≈0: z-scored views; kept exact)
+        zdot = (cross - mu[:, None, :] * zsum[None, :, None]) / sigma[:, None, :]
+        d = 1.0 - zdot / p + pen[None, :, None]
+        return jnp.min(d, axis=1)  # [B, L]
+
+    return lib_min

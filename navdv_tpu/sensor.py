@@ -157,6 +157,9 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
     half = wx_sz // 2
     iota_x = jnp.arange(wx_sz, dtype=jnp.float32)
     iota_y = jnp.arange(wy_sz, dtype=jnp.float32)
+    if sensor.hat_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown hat_dtype {sensor.hat_dtype!r}")
+    hat_bf16 = sensor.hat_dtype == "bfloat16"
 
     if window_impl == "pallas":
         from navdv_tpu.ops.window_pallas import make_window_gather_pallas
@@ -197,6 +200,16 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
         ys = jnp.clip(bcast(fy) + bcast(s) * dx0 + bcast(c) * dy0, 0.0, wy_sz - 1.0)
         wxh = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - iota_x))  # [B,R,A,wx]
         wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ys[..., None] - iota_y))  # [B,R,A,wy]
+        if hat_bf16:
+            # hat tensors dominate renderer HBM traffic (~660 MB/step at
+            # BASELINE config 3); bf16 halves it, accumulation stays f32
+            t = jnp.einsum(
+                "braq,bpq->brap",
+                wxh.astype(jnp.bfloat16),
+                wins.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.sum(t * wyh.astype(jnp.bfloat16).astype(jnp.float32), axis=-1)
         t = jnp.einsum(
             "braq,bpq->brap", wxh, wins, precision=jax.lax.Precision.HIGH
         )  # [B,R,A,wy]

@@ -86,3 +86,22 @@ def test_render_is_jittable(small_cfg, small_world):
     out = render(jnp.asarray(landscape), jnp.asarray([60.0, 64.0], jnp.float32), jnp.float32(0.5))
     assert out.shape == (small_cfg.sensor.n_radial, small_cfg.sensor.n_fine)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_hat_render_close_to_f32(small_cfg, small_world, rng):
+    """hat_dtype='bfloat16' batched renderer stays within bf16 weight noise of
+    the exact f32 path (pixel atol ~1e-2; accumulation is f32)."""
+    import dataclasses
+
+    from navdv_tpu.sensor import make_render_batch
+
+    landscape, _ = small_world
+    sensor_bf = dataclasses.replace(small_cfg.sensor, hat_dtype="bfloat16")
+    xy = jnp.asarray(rng.uniform(40, 90, (6, 2)), jnp.float32)
+    th = jnp.asarray(rng.uniform(0, 6.28, (6,)), jnp.float32)
+    land = jnp.asarray(landscape)
+    a = make_render_batch(small_cfg.sensor)(land, xy, th)
+    b = make_render_batch(sensor_bf)(land, xy, th)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1.5e-2)
+    assert float(jnp.mean(jnp.abs(b - a))) < 3e-3
