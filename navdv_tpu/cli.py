@@ -107,13 +107,19 @@ def cmd_sweep(args) -> None:
     import numpy as np
 
     steps = args.steps or int(np.hypot(*np.diff(route, axis=0).T).sum() * 1.3)
+    trial_seed = args.trial_seed if args.trial_seed is not None else args.seed
     if args.spec:
+        # the JSON spec is authoritative; --steps still overrides its budget
         spec = SweepSpec.from_json(args.spec)
+        if args.steps:
+            import dataclasses
+
+            spec = dataclasses.replace(spec, max_steps=args.steps)
     else:
         spec = SweepSpec(
             n_trials=args.trials,
             max_steps=steps,
-            seed=args.seed,
+            seed=trial_seed,
             start_anywhere=args.start_anywhere,
         )
     shard = None
@@ -158,6 +164,9 @@ def main(argv=None) -> None:
     s.add_argument("--spec", default=None, help="SweepSpec JSON file")
     s.add_argument("--start-anywhere", action="store_true",
                    help="start trials uniformly along the route (harder task)")
+    s.add_argument("--trial-seed", type=int, default=None,
+                   help="trial-randomization seed (default: --seed, which also "
+                        "seeds the landscape)")
     s.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)

@@ -276,19 +276,29 @@ def make_views_from_pooled(sensor: SensorConfig, shifts: np.ndarray):
 def make_lag_stats(sensor: SensorConfig, shifts: np.ndarray):
     """Cheap per-lag candidate statistics straight from the pooled panorama:
     ``stats(S f32[B, R, A]) -> (sum f32[B, Ns], sumsq f32[B, Ns])`` where
-    sum/sumsq are over the candidate's P pixels. O(A) per agent instead of a
-    full O(Ns*P) pass over the extracted candidates (profiled ~2.8 ms/step of
-    z-score reductions at BASELINE config 3)."""
-    col_idx = jnp.asarray(candidate_col_index(sensor, np.asarray(shifts)))
+    sum/sumsq are over the candidate's P pixels.
+
+    Key reduction: candidate ``l``'s pixels are the pooled columns
+    ``(w*u + l) mod A`` — exactly the columns congruent to ``l mod u`` — so
+    the per-lag stats take only ``u`` DISTINCT values. Summing the column
+    stats per residue class and gathering ``[B, u] -> [B, Ns]`` replaces the
+    round-1 ``colsum[:, col_idx]`` gather that materialized a [B, Ns, W]
+    tensor (profiled 200 us/step of VMEM-write-bound traffic at BASELINE
+    config 3, where Ns=125 and W=A=360 made every row the same full-circle
+    sum, computed 125 times)."""
     u = sensor.az_upsample
+    w = sensor.n_azimuth
     inv_u = 1.0 / u
+    residues = jnp.asarray(np.mod(np.asarray(shifts), u).astype(np.int32))  # [Ns]
 
     def stats(s: jnp.ndarray):
         colsum = jnp.sum(s, axis=1) * inv_u  # [B, A]
         colsq = jnp.sum(s * s, axis=1) * (inv_u * inv_u)  # [B, A]
-        lag_sum = jnp.sum(colsum[:, col_idx], axis=2)  # [B, Ns]
-        lag_sq = jnp.sum(colsq[:, col_idx], axis=2)
-        return lag_sum, lag_sq
+        b = s.shape[0]
+        # column a = w*u + j  ->  reshape [B, W, u], sum over w -> per-residue
+        res_sum = jnp.sum(colsum.reshape(b, w, u), axis=1)  # [B, u]
+        res_sq = jnp.sum(colsq.reshape(b, w, u), axis=1)  # [B, u]
+        return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
 
     return stats
 
