@@ -2,15 +2,24 @@
 
 XLA lowers the vmapped ``dynamic_slice`` window extraction to per-agent
 dynamic-update-slice fusions that run at ~2 GiB/s (profiled: ~1.0 ms/step at
-B=1024 — the single largest step cost). This kernel replaces it with direct
-per-agent DMAs.
+B=1024 — the single largest step cost in the round-1 gather formulation).
+This kernel replaces it with direct per-agent band reads.
 
-Mosaic DMA slice constraints (f32 tiling (8, 128)): sublane starts must be
-provably 8-aligned (callers align down; the remainder rides in the fractional
-offset) and lane slices must be 128-aligned. So each agent DMAs an aligned
-[wy, 256] band into VMEM and the true wx-wide window is extracted with a
-*selection matmul*: ``win = band @ Sel(off)`` where ``Sel[c, q] = (c == off+q)``
-— a dynamic shift with no dynamic slicing, exact (0/1 matrix at fp32 passes).
+Mosaic DMA/VMEM slice constraints (f32 tiling (8, 128)): sublane starts must
+be provably 8-aligned (callers align down; the remainder rides in the
+fractional offset) and lane slices must be 128-aligned. So each agent reads an
+aligned [wy, 256] band and the true wx-wide window is extracted with
+``pltpu.roll`` (dynamic lane rotation) + a static slice — measured faster than
+the round-1 selection-matmul extraction at every config (it replaced B tiny
+[wy, BAND] @ [BAND, wx] MXU dots with a VPU shuffle).
+
+Two band sources, selected per call:
+  - ``vmem``: the whole landscape resident in VMEM, bands are direct dynamic
+    slices. Wins at large batch (B >= 512: +12% end-to-end at BASELINE
+    config 1); only valid when the landscape fits the VMEM budget.
+  - ``dma``: landscape stays in HBM; per-agent async DMAs into scratch.
+    Wins at small batch (config 3's B=128: +5% over vmem) and is the only
+    option for big landscapes.
 """
 
 from __future__ import annotations
@@ -22,10 +31,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BAND = 256  # aligned lane width DMA'd per agent
+BAND = 256  # aligned lane width read per agent
+# landscape cells up to which the vmem-resident variant may be used
+# (f32: 2M cells = 8 MB of the ~16 MB per-core VMEM)
+VMEM_LAND_MAX_ELEMS = 2_000_000
+# batch size from which the vmem-resident variant wins end-to-end
+VMEM_MIN_BATCH = 512
 
 
-def _window_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, tb, wy, wx):
+def _extract(band, off, wx):
+    """band f32[wy, BAND], off scalar -> f32[wy, wx] starting at lane off."""
+    return pltpu.roll(band, BAND - off, 1)[:, :wx]
+
+
+def _dma_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, tb, wy, wx):
     i = pl.program_id(0)
 
     def get_dma(t):
@@ -40,18 +59,19 @@ def _window_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *
 
     for t in range(tb):
         get_dma(t).start()
-    col = jax.lax.broadcasted_iota(jnp.int32, (BAND, wx), 0)
-    q = jax.lax.broadcasted_iota(jnp.int32, (BAND, wx), 1)
     for t in range(tb):
         get_dma(t).wait()
-        off = off_ref[i * tb + t]
-        sel = (col == q + off).astype(jnp.float32)  # [BAND, wx]
-        out_ref[t] = jnp.dot(
-            band_ref[t],
-            sel,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # exact: 0/1 selection
-        )
+        out_ref[t] = _extract(band_ref[t], off_ref[i * tb + t], wx)
+
+
+def _vmem_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, *, tb, wy, wx):
+    i = pl.program_id(0)
+    for t in range(tb):
+        b = i * tb + t
+        by = pl.multiple_of(by_ref[b], 8)
+        bx = pl.multiple_of(bx_ref[b], 128)
+        band = land_ref[pl.ds(by, wy), pl.ds(bx, BAND)]
+        out_ref[t] = _extract(band, off_ref[b], wx)
 
 
 def make_window_gather_pallas(
@@ -60,11 +80,12 @@ def make_window_gather_pallas(
     """``(landscape f32[H, W>=BAND], base_y i32[B], base_x i32[B]) -> f32[B, wy, wx]``.
 
     base_y must be 8-aligned and in [0, H-wy]; base_x in [0, W-wx] (the
-    aligned band start and in-band offset are derived here).
+    aligned band start and in-band offset are derived here). The band source
+    (vmem-resident vs per-agent DMA) is chosen per call from the batch size
+    and landscape footprint.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(_window_kernel, tb=tb, wy=wy, wx=wx)
 
     def gather(landscape: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
         b = base_y.shape[0]
@@ -72,23 +93,35 @@ def make_window_gather_pallas(
         if b_pad != b:
             base_y = jnp.pad(base_y, (0, b_pad - b))
             base_x = jnp.pad(base_x, (0, b_pad - b))
-        wl = landscape.shape[1]
+        hl, wl = landscape.shape
         assert wl >= BAND, f"landscape width {wl} < {BAND}; pad first"
         # 128-granular band start: off stays < 128 (or <= 232 at the right
         # edge clip), so the wx-wide window never crosses the band end
         bx_band = jnp.minimum((base_x // 128) * 128, wl - BAND)
-        off = base_x - bx_band  # in [0, BAND - wx]
+        off = base_x - bx_band
+
+        use_vmem = b_pad >= VMEM_MIN_BATCH and hl * wl <= VMEM_LAND_MAX_ELEMS
+        if use_vmem:
+            kernel = functools.partial(_vmem_kernel, tb=tb, wy=wy, wx=wx)
+            in_specs = [
+                pl.BlockSpec((hl, wl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+            ]
+            scratch = []
+        else:
+            kernel = functools.partial(_dma_kernel, tb=tb, wy=wy, wx=wx)
+            in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # landscape in HBM
+            scratch = [
+                pltpu.VMEM((tb, wy, BAND), jnp.float32),
+                pltpu.SemaphoreType.DMA((tb,)),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # base_y, bx_band, off
             grid=(b_pad // tb,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # landscape in HBM
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (tb, wy, wx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((tb, wy, BAND), jnp.float32),
-                pltpu.SemaphoreType.DMA((tb,)),
-            ],
+            scratch_shapes=scratch,
         )
         out = pl.pallas_call(
             kernel,
