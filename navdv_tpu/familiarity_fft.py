@@ -106,10 +106,21 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
 
     def _cross(s: jnp.ndarray, zrows: jnp.ndarray) -> jnp.ndarray:
         """(S f32[B,R,A], zrows f32[Nl, P]) -> cross f32[B, Nl, L] where
-        cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)]."""
+        cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)].
+
+        The panorama is mean-centered per (b, r) row before the DFT: the DC
+        spectral product |SF[0]||ZF[0]| otherwise dominates G (~1e4 on unit
+        pixels), and its f32 rounding noise decorrelates across lags —
+        measured 17x worse epsilon-optimality of the selected lag vs float64
+        at BASELINE config 2's dense library. Centering zeroes SF[0], and the
+        exact correction is lag-independent: sum_a mu[b,r]·zu[v,r,a] =
+        mu[b,r]·rowsum_z[v,r], one tiny [B,R]@[R,Nl] matmul."""
         b = s.shape[0]
         nl = zrows.shape[0]
-        flat = s.reshape(b * r, a)
+        mu = jnp.mean(s, axis=2)  # [B, R]
+        rowsum_z = jnp.sum(zrows.reshape(nl, r, w), axis=2)  # [Nl, R]
+        k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
+        flat = (s - mu[:, :, None]).reshape(b * r, a)
         # every matmul below must honor prec: plain `@` would run bf16x1 on
         # TPU, and DFT coefficients reach ~A·mean magnitude, so 0.4% bf16
         # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
@@ -128,12 +139,14 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
         gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
         gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prec)
-        f = gre.shape[-1]
-        cross = (
-            jnp.dot(gre.reshape(b * nl, f), vre, precision=prec)
-            + jnp.dot(gim.reshape(b * nl, f), vim, precision=prec)
-        ).reshape(b, nl, -1)
-        return cross * inv_u
+        # IDFT as einsum (NOT reshape->dot->reshape): the reshape round-trip
+        # forced [B, Nl, F] layout copies around the batched matmul — profiled
+        # 151 us/step at config 1; the einsum form lets XLA keep the spectral
+        # product's native layout (+20% end-to-end at config 1)
+        cross = jnp.einsum("bvf,fl->bvl", gre, vre, precision=prec) + jnp.einsum(
+            "bvf,fl->bvl", gim, vim, precision=prec
+        )
+        return (cross + k_corr[:, :, None]) * inv_u
 
     if scan.metric == "ssd":
 
