@@ -18,7 +18,7 @@ return before execution finishes, so every timed call is synced by pulling the
 scalar success rate to the host (which transitively awaits the episode).
 
 Usage: python bench.py [--config N] [--batch B] [--steps T] [--views V]
-                       [--impl jnp|fft|conv|pallas] [--all]
+                       [--impl jnp|fft|roll|conv|pallas] [--all]
 """
 
 from __future__ import annotations
@@ -234,7 +234,7 @@ def main() -> None:
                     help="sine route length; 40 -> ~51 px arc (spec), "
                          "200 -> ~257 px arc (dense round-1 variants)")
     ap.add_argument("--impl", default="default",
-                    help="jnp|fft|conv|pallas (default: fastest per config)")
+                    help="jnp|fft|roll|conv|pallas (default: fastest per config)")
     ap.add_argument("--all", action="store_true",
                     help="run BASELINE configs 1-4 + the Pallas parity gate "
                          "(one JSON line each)")

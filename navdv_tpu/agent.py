@@ -250,13 +250,19 @@ def make_step_batched(
 
         return step
 
-    if fam_impl == "fft":
-        # spectral path: the whole lag scan as circular correlation via DFT
-        # matmuls — no candidate tensor at all (familiarity_fft.py)
-        from navdv_tpu.familiarity_fft import make_lib_min_fft
+    if fam_impl in ("fft", "roll"):
+        # extraction-free paths: the whole lag scan straight from the pooled
+        # panorama — no [B, L, P] candidate tensor at all. "fft" = circular
+        # correlation via DFT matmuls (familiarity_fft.py); "roll" = one
+        # matmul against a statically pre-rolled library, matmul-identical
+        # numerics to "jnp" (familiarity_roll.py)
+        if fam_impl == "fft":
+            from navdv_tpu.familiarity_fft import make_lib_min_fft as _mk
+        else:
+            from navdv_tpu.familiarity_roll import make_lib_min_roll as _mk
 
         lags, window_idx = scan_lag_sets(cfg.scan)
-        lib_min_fft = make_lib_min_fft(cfg.sensor, cfg.scan, lags)
+        lib_min_fft = _mk(cfg.sensor, cfg.scan, lags)
         pooled_f = make_pooled_panorama(cfg.sensor)
         lag_stats_f = make_lag_stats(cfg.sensor, lags)
         window_idx_f = jnp.asarray(window_idx)

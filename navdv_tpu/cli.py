@@ -21,7 +21,7 @@ def _add_world_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--route", default="sine", choices=["line", "sine"])
     p.add_argument("--route-length", type=float, default=200.0)
-    p.add_argument("--impl", default="jnp", choices=["jnp", "fft", "conv", "pallas"])
+    p.add_argument("--impl", default="jnp", choices=["jnp", "fft", "roll", "conv", "pallas"])
 
 
 def cmd_demo(args) -> None:

@@ -132,7 +132,10 @@ def baseline_config(n: int) -> SimConfig:
 
 def baseline_fam_impl(n: int) -> str:
     """Fastest measured familiarity impl per benchmark config (v5e-1, round 2):
-    the spectral (fft) path wins everywhere except the dense-library config 2,
-    where the extract-then-matmul jnp path is ~1.4x faster (the [B, Nl, F]
-    spectrum tensor at Nl=500 is HBM-bound)."""
-    return {1: "fft", 2: "jnp", 3: "fft", 4: "fft", 5: "jnp"}[n]
+    the spectral (fft) path wins where the familiarity valley is deep
+    (configs 1/3/4); the dense-library config 2 uses the rolled-library
+    matmul path — same extraction-free structure, but matmul-identical
+    numerics to "jnp", which keeps recall at 0.99 where the spectral path's
+    decorrelated per-lag noise wanders in config 2's flat valley
+    (familiarity_roll.py, STATUS.md)."""
+    return {1: "fft", 2: "roll", 3: "fft", 4: "fft", 5: "jnp"}[n]

@@ -1,0 +1,76 @@
+"""Rolled-library familiarity path == extract-then-matmul reference."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from navdv_tpu.agent import _make_lib_min, init_state, make_navigate_batch, make_statics
+from navdv_tpu.config import AgentConfig, ScanConfig, SensorConfig, SimConfig
+from navdv_tpu.familiarity import pack_library
+from navdv_tpu.familiarity_roll import make_lib_min_roll
+from navdv_tpu.sensor import make_lag_stats, make_views_from_pooled, scan_lag_sets
+
+
+def _cfg(metric: str, u: int, tol_bins: int = 0) -> SimConfig:
+    return SimConfig(
+        sensor=SensorConfig(n_radial=4, n_azimuth=24, az_upsample=u, r_min=2.0, r_max=8.0),
+        scan=ScanConfig(n_headings=12, scan_step_bins=2, metric=metric, tol_bins=tol_bins),
+    )
+
+
+@pytest.mark.parametrize("metric", ["ssd", "ncc"])
+@pytest.mark.parametrize("u", [1, 3])
+@pytest.mark.parametrize("tol_bins", [0, 2])
+def test_roll_matches_matmul_lib_min(metric, u, tol_bins):
+    cfg = _cfg(metric, u, tol_bins)
+    lags, _ = scan_lag_sets(cfg.scan)
+    rng = np.random.default_rng(0)
+    b, nl = 5, 7
+    r, a = cfg.sensor.n_radial, cfg.sensor.n_fine
+    s = jnp.asarray(rng.random((b, r, a)), jnp.float32)
+    views = jnp.asarray(rng.random((nl, r, cfg.sensor.n_azimuth)), jnp.float32)
+    lib = pack_library(views)
+
+    lag_stats = make_lag_stats(cfg.sensor, lags)
+    lag_sum, lag_sq = lag_stats(s)
+    cand = make_views_from_pooled(cfg.sensor, lags)(s)
+
+    m_ref = _make_lib_min(cfg, "jnp")(cand, lib, lag_sum, lag_sq)
+    m_roll = make_lib_min_roll(cfg.sensor, cfg.scan, lags)(s, lib, lag_sum, lag_sq)
+    assert m_roll.shape == m_ref.shape
+    scale = float(jnp.max(jnp.abs(m_ref))) + 1e-6
+    # identical math up to summation order -> tight fp32 tolerance
+    np.testing.assert_allclose(
+        np.asarray(m_roll), np.asarray(m_ref), atol=2e-5 * scale, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("metric,tol_bins", [("ssd", 0), ("ncc", 2)])
+def test_roll_closed_loop_recall(small_world, metric, tol_bins, request):
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    cfg = request.getfixturevalue("small_cfg")
+    cfg = dataclasses.replace(
+        cfg, scan=dataclasses.replace(cfg.scan, metric=metric, tol_bins=tol_bins)
+    )
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    b = 8
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.1, size=(b,))
+    states0 = init_state(starts, thetas)
+
+    f_jnp, _ = make_navigate_batch(cfg, fam_impl="jnp")(states0, st)
+    f_roll, _ = make_navigate_batch(cfg, fam_impl="roll")(states0, st)
+    from navdv_tpu.metrics import success_rate as sr
+
+    r_jnp, r_roll = float(sr(f_jnp)), float(sr(f_roll))
+    assert r_roll >= 0.75, (r_roll, r_jnp)
+    assert abs(r_roll - r_jnp) <= 0.25, (r_roll, r_jnp)
