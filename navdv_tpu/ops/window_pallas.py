@@ -39,12 +39,20 @@ VMEM_LAND_MAX_ELEMS = 2_000_000
 VMEM_MIN_BATCH = 512
 
 
-def _extract(band, off, wx):
-    """band f32[wy, BAND], off scalar -> f32[wy, wx] starting at lane off."""
-    return pltpu.roll(band, BAND - off, 1)[:, :wx]
+def _extract(band, xoff, yoff, band_h, wy, wx):
+    """band f32[band_h, BAND] -> f32[wy, wx] window at (yoff, xoff): dynamic
+    lane AND sublane rotations bring the unaligned window corner to (0, 0) —
+    outputting the aligned slack rows would otherwise force the hat matmul to
+    contract over band_h=32 instead of wy=24 (25% wasted renderer FLOPs)."""
+    r = pltpu.roll(band, BAND - xoff, 1)
+    r = pltpu.roll(r, band_h - yoff, 0)
+    return r[:wy, :wx]
 
 
-def _dma_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, tb, wy, wx):
+def _dma_kernel(
+    by_ref, bx_ref, xoff_ref, yoff_ref, land_ref, out_ref, band_ref, sems,
+    *, tb, band_h, wy, wx,
+):
     i = pl.program_id(0)
 
     def get_dma(t):
@@ -52,7 +60,7 @@ def _dma_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, t
         by = pl.multiple_of(by_ref[b], 8)
         bx = pl.multiple_of(bx_ref[b], 128)  # lane-tile aligned band start
         return pltpu.make_async_copy(
-            land_ref.at[pl.ds(by, wy), pl.ds(bx, BAND)],
+            land_ref.at[pl.ds(by, band_h), pl.ds(bx, BAND)],
             band_ref.at[t],
             sems.at[t],
         )
@@ -61,17 +69,20 @@ def _dma_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, band_ref, sems, *, t
         get_dma(t).start()
     for t in range(tb):
         get_dma(t).wait()
-        out_ref[t] = _extract(band_ref[t], off_ref[i * tb + t], wx)
+        b = i * tb + t
+        out_ref[t] = _extract(band_ref[t], xoff_ref[b], yoff_ref[b], band_h, wy, wx)
 
 
-def _vmem_kernel(by_ref, bx_ref, off_ref, land_ref, out_ref, *, tb, wy, wx):
+def _vmem_kernel(
+    by_ref, bx_ref, xoff_ref, yoff_ref, land_ref, out_ref, *, tb, band_h, wy, wx
+):
     i = pl.program_id(0)
     for t in range(tb):
         b = i * tb + t
         by = pl.multiple_of(by_ref[b], 8)
         bx = pl.multiple_of(bx_ref[b], 128)
-        band = land_ref[pl.ds(by, wy), pl.ds(bx, BAND)]
-        out_ref[t] = _extract(band, off_ref[b], wx)
+        band = land_ref[pl.ds(by, band_h), pl.ds(bx, BAND)]
+        out_ref[t] = _extract(band, xoff_ref[b], yoff_ref[b], band_h, wy, wx)
 
 
 def make_window_gather_pallas(
@@ -79,13 +90,16 @@ def make_window_gather_pallas(
 ):
     """``(landscape f32[H, W>=BAND], base_y i32[B], base_x i32[B]) -> f32[B, wy, wx]``.
 
-    base_y must be 8-aligned and in [0, H-wy]; base_x in [0, W-wx] (the
-    aligned band start and in-band offset are derived here). The band source
-    (vmem-resident vs per-agent DMA) is chosen per call from the batch size
-    and landscape footprint.
+    base_y/base_x are the TRUE (unaligned) window corners, base_y in
+    [0, H-8-wy] against a landscape carrying >=8 replicated bottom rows (the
+    8-aligned band start can overrun by up to 7 rows), base_x in [0, W-wx].
+    All alignment is internal: aligned band reads + dynamic lane/sublane
+    rotations. The band source (vmem-resident vs per-agent DMA) is chosen per
+    call from the batch size and landscape footprint.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    band_h = -(-(wy + 7) // 8) * 8  # covers the up-to-7-row align-down slack
 
     def gather(landscape: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
         b = base_y.shape[0]
@@ -98,24 +112,27 @@ def make_window_gather_pallas(
         # 128-granular band start: off stays < 128 (or <= 232 at the right
         # edge clip), so the wx-wide window never crosses the band end
         bx_band = jnp.minimum((base_x // 128) * 128, wl - BAND)
-        off = base_x - bx_band
+        xoff = base_x - bx_band
+        by_band = (base_y // 8) * 8
+        yoff = base_y - by_band  # in [0, 7]
 
         use_vmem = b_pad >= VMEM_MIN_BATCH and hl * wl <= VMEM_LAND_MAX_ELEMS
+        kw = dict(tb=tb, band_h=band_h, wy=wy, wx=wx)
         if use_vmem:
-            kernel = functools.partial(_vmem_kernel, tb=tb, wy=wy, wx=wx)
+            kernel = functools.partial(_vmem_kernel, **kw)
             in_specs = [
                 pl.BlockSpec((hl, wl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
             ]
             scratch = []
         else:
-            kernel = functools.partial(_dma_kernel, tb=tb, wy=wy, wx=wx)
+            kernel = functools.partial(_dma_kernel, **kw)
             in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # landscape in HBM
             scratch = [
-                pltpu.VMEM((tb, wy, BAND), jnp.float32),
+                pltpu.VMEM((tb, band_h, BAND), jnp.float32),
                 pltpu.SemaphoreType.DMA((tb,)),
             ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # base_y, bx_band, off
+            num_scalar_prefetch=4,  # by_band, bx_band, xoff, yoff
             grid=(b_pad // tb,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
@@ -128,7 +145,7 @@ def make_window_gather_pallas(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b_pad, wy, wx), jnp.float32),
             interpret=interpret,
-        )(base_y, bx_band, off, landscape)
+        )(by_band, bx_band, xoff, yoff, landscape)
         return out[:b]
 
     return gather

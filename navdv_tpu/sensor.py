@@ -129,13 +129,13 @@ def make_render_panorama(sensor: SensorConfig):
 
 
 def window_geometry(sensor: SensorConfig) -> tuple[int, int]:
-    """(wy, wx) window shape for the batched renderer: x is the minimal
-    footprint cover; y covers the up-to-7-row align-down slack AND is itself a
-    multiple of 8 (Mosaic DMA requires 8-aligned sublane starts *and* slice
-    heights — ops/window_pallas.py)."""
+    """(wy, wx) window shape for the batched renderer: both axes are the
+    minimal footprint cover — the window kernel normalizes DMA alignment
+    internally with dynamic lane/sublane rotations (ops/window_pallas.py), so
+    the hat matmul contracts over exactly the footprint rows (the round-1
+    wy=32 carried 8 alignment-slack rows = 25% wasted renderer FLOPs)."""
     wx = window_size(sensor)
-    wy = -(-(wx + 7) // 8) * 8
-    return wy, wx
+    return wx, wx
 
 
 def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
@@ -144,9 +144,8 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
 
     Same hat-weight matmul math as make_render_panorama, but the window
     extraction is pluggable: XLA's vmapped dynamic_slice runs at ~2 GiB/s
-    (profiled ~1 ms/step at B=1024), so on TPU it defaults to the Pallas DMA
-    window-gather kernel. Window y-bases are aligned down to multiples of 8
-    (DMA sublane constraint); the remainder rides in the fractional offset.
+    (profiled ~1 ms/step at B=1024), so on TPU it defaults to the Pallas
+    window-gather kernel (which handles all DMA alignment internally).
     """
     if window_impl == "auto":
         window_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -175,11 +174,11 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
 
     def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
         hl, wl = landscape.shape
-        # edge-replicate 8 extra rows: the 8-aligned window base can fall up
-        # to 7 rows short of the bottom edge, and clamping into the replicated
-        # rows reproduces exact edge-clamp semantics. Columns pad to the DMA
-        # band width if the landscape is narrower. Loop-invariant -> XLA
-        # hoists this out of the episode scan.
+        # edge-replicate 8 extra rows: the kernel's 8-aligned band start can
+        # overrun the bottom edge by up to 7 rows, and clamping into the
+        # replicated rows reproduces exact edge-clamp semantics. Columns pad
+        # to the DMA band width if the landscape is narrower. Loop-invariant
+        # -> XLA hoists this out of the episode scan.
         land_pad = jnp.concatenate(
             [landscape, jnp.tile(landscape[-1:], (8, 1))], axis=0
         )
@@ -188,8 +187,7 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
                 [land_pad, jnp.tile(land_pad[:, -1:], (1, 256 - wl))], axis=1
             )
         bx = jnp.clip(jnp.floor(xy[:, 0]).astype(jnp.int32) - half, 0, wl - wx_sz)
-        by = jnp.clip(jnp.floor(xy[:, 1]).astype(jnp.int32) - half, 0, hl + 8 - wy_sz)
-        by = (by // 8) * 8  # align down (Mosaic DMA sublane constraint)
+        by = jnp.clip(jnp.floor(xy[:, 1]).astype(jnp.int32) - half, 0, hl - wy_sz)
         wins = gather_win(land_pad, by, bx)  # [B, wy, wx]
         fx = xy[:, 0] - bx.astype(jnp.float32)
         fy = xy[:, 1] - by.astype(jnp.float32)
