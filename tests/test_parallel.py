@@ -83,6 +83,31 @@ def test_sharded_matches_single_device(world, n_data, n_lib):
     assert same.mean() >= 0.75, f"too many decision flips: {same}"
 
 
+@pytest.mark.parametrize("fam_impl", ["fft", "roll"])
+def test_sharded_extraction_free_paths(world, fam_impl):
+    """The extraction-free impls (production defaults) under library sharding:
+    per-shard spectral/rolled cross terms + the pmin collective must match the
+    unsharded path, including the zero-padded shard views (pad_library)."""
+    import dataclasses
+
+    cfg, st, states0 = world
+    cfg1 = dataclasses.replace(
+        cfg, agent=dataclasses.replace(cfg.agent, max_steps=1)
+    )
+    want_final, want_rec = make_navigate_batch(cfg1, fam_impl=fam_impl)(states0, st)
+    fam_ref = np.asarray(want_rec.fam)[:, 0]
+
+    mesh = make_mesh(4, 2)
+    st_sharded = shard_statics(st, mesh, shard_lib=True)
+    nav = make_navigate_sharded(cfg1, mesh, fam_impl=fam_impl, shard_lib=True)
+    got_final, got_rec = nav(states0, st_sharded)
+    np.testing.assert_allclose(
+        np.asarray(got_rec.fam)[:, 0], fam_ref, rtol=1e-4, atol=1e-4
+    )
+    same = np.asarray(got_rec.k)[:, 0] == np.asarray(want_rec.k)[:, 0]
+    assert same.mean() >= 0.75, f"too many decision flips: {same}"
+
+
 @pytest.mark.parametrize("n_lib", [2, 4])
 def test_sharded_closed_loop_statistics(world, n_lib):
     """Full sharded episodes produce comparable recall statistics."""
