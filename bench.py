@@ -33,7 +33,7 @@ import numpy as np
 # spec'd stored-view counts per BASELINE.json config (config 4 = config 1's
 # workload with the 1024-agent batch)
 SPEC_VIEWS = {1: 50, 2: 500, 3: 50, 4: 50}
-SPEC_BATCH = {1: 1024, 2: 512, 3: 128, 4: 1024}
+SPEC_BATCH = {1: 1024, 2: 512, 3: 512, 4: 1024}
 
 
 def _world(route_length: float):

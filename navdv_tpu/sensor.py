@@ -159,6 +159,13 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
     if sensor.hat_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unknown hat_dtype {sensor.hat_dtype!r}")
     hat_bf16 = sensor.hat_dtype == "bfloat16"
+    # fusion-cliff guard: for tall sensors at larger batches XLA stops fusing
+    # the hat reduce into the einsum and materializes the f32 [B,R,A,wx]
+    # intermediate to HBM (profiled 1.7 ms/step of pure traffic at BASELINE
+    # config 3, B=256). Rendering in 128-agent chunks keeps every chunk
+    # inside the fusion threshold; small sensors (config 1's R=16) fuse fine
+    # unchunked at B=1024 and are left alone.
+    chunk_b = 128 if sensor.n_radial >= 32 else None
 
     if window_impl == "pallas":
         from navdv_tpu.ops.window_pallas import make_window_gather_pallas
@@ -173,6 +180,16 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
         raise ValueError(f"unknown window_impl {window_impl!r}")
 
     def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
+        b = xy.shape[0]
+        if chunk_b and b > chunk_b:
+            splits = [
+                _render_chunk(landscape, xy[i : i + chunk_b], theta[i : i + chunk_b])
+                for i in range(0, b, chunk_b)
+            ]
+            return jnp.concatenate(splits, axis=0)
+        return _render_chunk(landscape, xy, theta)
+
+    def _render_chunk(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
         hl, wl = landscape.shape
         # edge-replicate 8 extra rows: the kernel's 8-aligned band start can
         # overrun the bottom edge by up to 7 rows, and clamping into the
