@@ -91,14 +91,17 @@ class NavigationSimulator:
         heading_sigma: float = 0.15,
         starts=None,
         headings=None,
+        start_anywhere: bool = False,
     ) -> NavigationResult:
-        """Run batched recall episodes from randomized (or given) starts."""
+        """Run batched recall episodes from randomized (or given) starts;
+        ``start_anywhere`` samples starts uniformly along the route."""
         if self.library is None:
             raise RuntimeError("call train() or load_library() first")
         if starts is None:
             starts, headings = make_trials(
                 self.route, self.cfg, n_trials, seed=seed,
                 pos_sigma=pos_sigma, heading_sigma=heading_sigma,
+                start_anywhere=start_anywhere,
             )
         final, rec = jax.block_until_ready(
             self._navigate(init_state(starts, headings), self._statics)
