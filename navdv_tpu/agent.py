@@ -267,16 +267,21 @@ def make_step_batched(
         lag_stats_f = make_lag_stats(cfg.sensor, lags)
         window_idx_f = jnp.asarray(window_idx)
 
-        def step(states: AgentState, st: EpisodeStatics):
+        def step(states: AgentState, st: EpisodeStatics, aux=None):
             pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
             s = pooled_f(pano)
             lag_sum, lag_sq = lag_stats_f(s)
-            m = lib_min_fft(s, st.lib, lag_sum, lag_sq)  # [B, L]
+            m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux)  # [B, L]
             if lib_axis is not None:
                 m = jax.lax.pmin(m, lib_axis)
             fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
             return decide(states, fam, st)
 
+        # per-episode library preprocessing (pre-rolled / spectral library):
+        # make_navigate_batch_fn runs it ONCE before the scan — XLA's
+        # loop-invariant code motion declined to hoist it (profiled 66
+        # us/step of rebuilt rolled library at BASELINE config 2)
+        step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
         return step
 
     lags, window_idx = scan_lag_sets(cfg.scan)
@@ -360,11 +365,19 @@ def make_navigate_batch_fn(
     """
     step = make_step_batched(cfg, fam_impl, lib_axis)
     t_max = cfg.agent.max_steps
+    lib_prepare = getattr(step, "lib_prepare", None)
+
+    def _step_fn(st):
+        if lib_prepare is None:
+            return lambda s: step(s, st)
+        aux = lib_prepare(st)  # once per episode, outside the scan
+        return lambda s: step(s, st, aux)
 
     if not early_exit:
         def navigate(states0: AgentState, st: EpisodeStatics):
+            step1 = _step_fn(st)
             final, recs = jax.lax.scan(
-                lambda s, _: step(s, st), states0, None, length=t_max
+                lambda s, _: step1(s), states0, None, length=t_max
             )
             recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
             return final, recs
@@ -382,13 +395,15 @@ def make_navigate_batch_fn(
             done=jnp.ones((t_max, b), bool),  # untouched tail = masked
         )
 
+        step1 = _step_fn(st)
+
         def cond(carry):
             t, states, _ = carry
             return (t < t_max) & ~jnp.all(states.done)
 
         def body(carry):
             t, states, recs = carry
-            states2, rec = step(states, st)
+            states2, rec = step1(states)
             recs2 = jax.tree.map(lambda buf, r: buf.at[t].set(r), recs, rec)
             return (t + 1, states2, recs2)
 

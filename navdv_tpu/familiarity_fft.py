@@ -104,9 +104,22 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     vre, vim = map(jnp.asarray, _inverse_lag_weights(a, np.asarray(lags)))
     inv_u = 1.0 / u
 
-    def _cross(s: jnp.ndarray, zrows: jnp.ndarray) -> jnp.ndarray:
-        """(S f32[B,R,A], zrows f32[Nl, P]) -> cross f32[B, Nl, L] where
-        cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)].
+    def _prepare_rows(zrows: jnp.ndarray):
+        """Library-side spectra + row sums — per-episode constants, computed
+        once through the prepare stage (agent.make_navigate_batch_fn) rather
+        than relying on XLA loop-invariant code motion inside the scan."""
+        nl = zrows.shape[0]
+        rowsum_z = jnp.sum(zrows.reshape(nl, r, w), axis=2)  # [Nl, R]
+        z = zrows.reshape(nl * r, w)
+        zre = jnp.dot(z, zwre, precision=prec).reshape(nl, r, -1)
+        zim = jnp.dot(z, zwim, precision=prec).reshape(nl, r, -1)
+        # stacked re/im (see _cross): [Nl, 2R, F]
+        zc = jnp.concatenate([zre, zim], axis=1)
+        return zc, rowsum_z
+
+    def _cross(s: jnp.ndarray, aux) -> jnp.ndarray:
+        """(S f32[B,R,A], prepared (zc, rowsum_z)) -> cross f32[B, Nl, L]
+        where cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)].
 
         The panorama is mean-centered per (b, r) row before the DFT: the DC
         spectral product |SF[0]||ZF[0]| otherwise dominates G (~1e4 on unit
@@ -115,10 +128,9 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         at BASELINE config 2's dense library. Centering zeroes SF[0], and the
         exact correction is lag-independent: sum_a mu[b,r]·zu[v,r,a] =
         mu[b,r]·rowsum_z[v,r], one tiny [B,R]@[R,Nl] matmul."""
+        zc, rowsum_z = aux
         b = s.shape[0]
-        nl = zrows.shape[0]
         mu = jnp.mean(s, axis=2)  # [B, R]
-        rowsum_z = jnp.sum(zrows.reshape(nl, r, w), axis=2)  # [Nl, R]
         k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
         flat = (s - mu[:, :, None]).reshape(b * r, a)
         # every matmul below must honor prec: plain `@` would run bf16x1 on
@@ -126,15 +138,9 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
         sre = jnp.dot(flat, wre, precision=prec).reshape(b, r, -1)
         sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
-        z = zrows.reshape(nl * r, w)
-        # library spectrum: depends only on statics -> XLA hoists it out of
-        # the episode scan (loop-invariant code motion)
-        zre = jnp.dot(z, zwre, precision=prec).reshape(nl, r, -1)
-        zim = jnp.dot(z, zwim, precision=prec).reshape(nl, r, -1)
         # stack re/im into the contraction axis: two einsums with a 2R-deep
         # contraction (a full 128 MXU tile at config 3) instead of four R-deep
         # ones — same FLOPs, ~2x fewer passes
-        zc = jnp.concatenate([zre, zim], axis=1)  # [Nl, 2R, F]
         sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
         sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
         gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
@@ -150,8 +156,11 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
 
     if scan.metric == "ssd":
 
-        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq):
-            cross = _cross(s, lib.flat)  # [B, Nl, L]
+        def prepare(lib: LibraryPack):
+            return _prepare_rows(lib.flat)
+
+        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
+            cross = _cross(s, prepare(lib) if aux is None else aux)  # [B, Nl, L]
             pen = (1.0 - lib.valid) * PAD_PENALTY
             d = (
                 lag_sq[:, None, :]
@@ -160,10 +169,14 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             )
             return jnp.min(jnp.maximum(d, 0.0), axis=1)  # [B, L]
 
+        lib_min.prepare = prepare
         return lib_min
 
-    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq):
-        cross = _cross(s, lib.z)  # [B, Nl, L] = cand . z_v (unnormalized cand)
+    def prepare(lib: LibraryPack):
+        return _prepare_rows(lib.z)
+
+    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
+        cross = _cross(s, prepare(lib) if aux is None else aux)  # [B, Nl, L]
         pen = (1.0 - lib.valid) * PAD_PENALTY
         mu = lag_sum / p
         var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
@@ -173,4 +186,5 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         d = 1.0 - zdot / p + pen[None, :, None]
         return jnp.min(d, axis=1)  # [B, L]
 
+    lib_min.prepare = prepare
     return lib_min
