@@ -105,3 +105,20 @@ def test_bf16_hat_render_close_to_f32(small_cfg, small_world, rng):
     assert b.shape == a.shape
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1.5e-2)
     assert float(jnp.mean(jnp.abs(b - a))) < 3e-3
+
+
+def test_bf16_matmul_pooling_close_to_exact(small_cfg, rng):
+    """The fast-numerics banded-circulant matmul pooling stays within bf16
+    input-rounding noise of the exact rolled-add pooling."""
+    import dataclasses
+
+    from navdv_tpu.sensor import make_pooled_panorama
+
+    sensor_bf = dataclasses.replace(small_cfg.sensor, hat_dtype="bfloat16")
+    pano = jnp.asarray(rng.random((5, small_cfg.sensor.n_radial,
+                                   small_cfg.sensor.n_fine)), jnp.float32)
+    exact = make_pooled_panorama(small_cfg.sensor)(pano)
+    fast = make_pooled_panorama(sensor_bf)(pano)
+    scale = float(jnp.max(jnp.abs(exact)))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               atol=8e-3 * scale)
