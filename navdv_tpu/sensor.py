@@ -164,8 +164,9 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
     # intermediate to HBM (profiled 1.7 ms/step of pure traffic at BASELINE
     # config 3, B=256). Rendering in 128-agent chunks keeps every chunk
     # inside the fusion threshold; small sensors (config 1's R=16) fuse fine
-    # unchunked at B=1024 and are left alone.
-    chunk_b = 128 if sensor.n_radial >= 32 else None
+    # unchunked at B=1024, and chunk at 1024 beyond that (B=2048 unchunked:
+    # 841k steps/s; chunked: 856k — bench.py SPEC_BATCH).
+    chunk_b = 128 if sensor.n_radial >= 32 else 1024
 
     if window_impl == "pallas":
         from navdv_tpu.ops.window_pallas import make_window_gather_pallas
