@@ -232,7 +232,10 @@ def make_step_batched(
     [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
     """
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
-    render_b = make_render_batch(cfg.sensor)
+    # the sector renderer's roll absorption is spectral-domain only: non-fft
+    # impls fall back to the (numerically equivalent) full-window renderer
+    sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"
+    render_b = None if sector else make_render_batch(cfg.sensor)
 
     if fam_impl == "conv":
         # fastest path: the whole lag scan as one MXU convolution — no
@@ -264,8 +267,29 @@ def make_step_batched(
         lags, window_idx = scan_lag_sets(cfg.scan)
         lib_min_fft = _mk(cfg.sensor, cfg.scan, lags)
         pooled_f = make_pooled_panorama(cfg.sensor)
-        lag_stats_f = make_lag_stats(cfg.sensor, lags)
+        lag_stats_f = make_lag_stats(cfg.sensor, lags, dynamic_roll=sector)
         window_idx_f = jnp.asarray(window_idx)
+
+        if sector:
+            # sector renderer: pano comes back in the phi frame plus its
+            # integer-bin roll k; the spectral path rotates the spectra by k
+            # (exact) and the lag stats gather the k-shifted residue classes
+            from navdv_tpu.sensor import make_render_batch_rolled
+
+            render_roll = make_render_batch_rolled(cfg.sensor)
+
+            def step(states: AgentState, st: EpisodeStatics, aux=None):
+                pano, k = render_roll(st.landscape, states.xy, states.theta)
+                s = pooled_f(pano)
+                lag_sum, lag_sq = lag_stats_f(s, k)
+                m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux, roll_k=k)
+                if lib_axis is not None:
+                    m = jax.lax.pmin(m, lib_axis)
+                fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
+                return decide(states, fam, st)
+
+            step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
+            return step
 
         def step(states: AgentState, st: EpisodeStatics, aux=None):
             pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]

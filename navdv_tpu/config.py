@@ -32,6 +32,16 @@ class SensorConfig:
     # f32. Route-recall measured unchanged at BASELINE configs 1-3 — the
     # bench accuracy gate is the arbiter, SEMANTICS.md §3 note).
     hat_dtype: str = "float32"
+    # renderer formulation: "full" = one hat matmul over the whole window
+    # per azimuth column; "sector" = heading decomposed as k*bin_width + phi
+    # (exact identity pano_theta[a] = pano_phi[a+k], SEMANTICS.md §3 note) so
+    # sample offsets are nearly static and the azimuth circle splits into
+    # static sectors whose hat support is ~11x11 instead of wsz x wsz (4.6x
+    # fewer render FLOPs at 8 sectors). Bit-identical sampling math; the k
+    # roll is absorbed as a spectral phase rotation, so "sector" requires
+    # fam_impl="fft" (agent.make_step_batched enforces it).
+    render_mode: str = "full"
+    n_sectors: int = 8
 
     @property
     def n_fine(self) -> int:
@@ -109,6 +119,9 @@ def baseline_config(n: int) -> SimConfig:
     out exactly (BASELINE.md).
     """
     if n == 1:  # ~50 stored 72x16 views, 60-heading SSD scan
+        # render_mode stays "full": at R=16 the sector path's per-sector
+        # matmuls are too small to beat the one fused hat einsum (measured
+        # 828k vs 856k steps/s at B=2048); the tall config-3 sensor wins
         return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))
     if n == 2:  # dense library: 500 views, 1-degree scan steps
         return SimConfig(
@@ -119,7 +132,11 @@ def baseline_config(n: int) -> SimConfig:
     if n == 3:  # high-res sensors: 360x64 px, NCC + rotation tolerance
         return SimConfig(
             sensor=SensorConfig(
-                n_radial=64, n_azimuth=360, az_upsample=1, hat_dtype="bfloat16"
+                n_radial=64,
+                n_azimuth=360,
+                az_upsample=1,
+                hat_dtype="bfloat16",
+                render_mode="sector",
             ),
             scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc", tol_bins=3),
         )

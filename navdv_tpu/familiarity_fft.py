@@ -117,9 +117,17 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         zc = jnp.concatenate([zre, zim], axis=1)
         return zc, rowsum_z
 
-    def _cross(s: jnp.ndarray, aux) -> jnp.ndarray:
+    f_idx = jnp.arange(a // 2 + 1, dtype=jnp.float32)
+
+    def _cross(s: jnp.ndarray, aux, roll_k=None) -> jnp.ndarray:
         """(S f32[B,R,A], prepared (zc, rowsum_z)) -> cross f32[B, Nl, L]
         where cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)].
+
+        ``roll_k`` (i32[B], from the sector renderer) absorbs the exact
+        azimuth roll pano_theta[a] = pano_phi[a+k] in the spectral domain:
+        DFT(S_theta)[f] = e^{i 2 pi f k / A} DFT(S_phi)[f] — a per-(b, f)
+        complex rotation of the panorama spectra, so the lag synthesis below
+        runs at the TRUE candidate lags with no rolled tensor materialized.
 
         The panorama is mean-centered per (b, r) row before the DFT: the DC
         spectral product |SF[0]||ZF[0]| otherwise dominates G (~1e4 on unit
@@ -138,6 +146,11 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
         sre = jnp.dot(flat, wre, precision=prec).reshape(b, r, -1)
         sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
+        if roll_k is not None:
+            ang = (2.0 * np.pi / a) * roll_k.astype(jnp.float32)[:, None] * f_idx
+            ck = jnp.cos(ang)[:, None, :]  # [B, 1, F]
+            sk = jnp.sin(ang)[:, None, :]
+            sre, sim = sre * ck - sim * sk, sre * sk + sim * ck
         # stack re/im into the contraction axis: two einsums with a 2R-deep
         # contraction (a full 128 MXU tile at config 3) instead of four R-deep
         # ones — same FLOPs, ~2x fewer passes
@@ -159,8 +172,8 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         def prepare(lib: LibraryPack):
             return _prepare_rows(lib.flat)
 
-        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
-            cross = _cross(s, prepare(lib) if aux is None else aux)  # [B, Nl, L]
+        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None, roll_k=None):
+            cross = _cross(s, prepare(lib) if aux is None else aux, roll_k)
             pen = (1.0 - lib.valid) * PAD_PENALTY
             d = (
                 lag_sq[:, None, :]
@@ -175,8 +188,8 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     def prepare(lib: LibraryPack):
         return _prepare_rows(lib.z)
 
-    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
-        cross = _cross(s, prepare(lib) if aux is None else aux)  # [B, Nl, L]
+    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None, roll_k=None):
+        cross = _cross(s, prepare(lib) if aux is None else aux, roll_k)
         pen = (1.0 - lib.valid) * PAD_PENALTY
         mu = lag_sum / p
         var = jnp.maximum(lag_sq / p - mu * mu, 0.0)

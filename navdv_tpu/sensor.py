@@ -234,6 +234,192 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
     return render_b
 
 
+def sector_bounds(
+    sensor: SensorConfig, n_sectors: int
+) -> list[tuple[int, int, int, int]]:
+    """Static per-sector hat support: ``[(row_lo, n_rows, col_lo, n_cols)]``.
+
+    With the heading decomposed as ``theta = k*bin_width + phi``
+    (|phi| <= bin_width/2), the in-window sample position for azimuth column
+    ``a`` is ``frac(xy) + half + Rot(phi) @ (dx0, dy0)[:, a]`` — nearly static.
+    For each contiguous block of azimuth columns the reachable positions span
+    a small static box; the hat weights are zero outside it, so the bilinear
+    contraction only needs that slice of the window (~11x11 of 24x24 at the
+    default sensor with 8 sectors: 4.6x fewer FLOPs).
+    """
+    a = sensor.n_fine
+    if a % n_sectors:
+        raise ValueError(f"n_fine {a} not divisible by n_sectors {n_sectors}")
+    dx0, dy0 = polar_offsets(sensor)
+    wsz = window_size(sensor)
+    half = wsz // 2
+    binw = sensor.bin_width
+    a_s = a // n_sectors
+    out = []
+    for s in range(n_sectors):
+        cols = slice(s * a_s, (s + 1) * a_s)
+        txs, tys = [], []
+        for phi in (-binw / 2, 0.0, binw / 2):
+            c, si = np.cos(phi), np.sin(phi)
+            txs.append(c * dx0[:, cols] - si * dy0[:, cols])
+            tys.append(si * dx0[:, cols] + c * dy0[:, cols])
+        tx = np.stack(txs)
+        ty = np.stack(tys)
+
+        def rng(t):
+            # sample in [half + t.min, half + 1 + t.max); both hat taps of
+            # every in-range sample land inside [lo, lo + n)
+            lo = int(np.clip(np.floor(half + t.min() - 1e-3), 0, wsz - 2))
+            hi = int(np.clip(np.floor(half + 1 + t.max() + 1e-3) + 1, lo + 1, wsz - 1))
+            return lo, hi - lo + 1
+
+        col_lo, n_cols = rng(tx)
+        row_lo, n_rows = rng(ty)
+        out.append((row_lo, n_rows, col_lo, n_cols))
+    return out
+
+
+def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
+    """Sector renderer: ``(landscape, xy f32[B,2], theta f32[B]) ->
+    (pano_phi f32[B, R, A], k i32[B])`` with the exact roll identity
+
+        pano_theta[r, a] == pano_phi[r, (a + k) mod A],  theta = k*binw + phi.
+
+    Same bilinear sampling math as make_render_batch (the rotation by theta
+    is evaluated as the rotation by phi of azimuth-shifted static offsets —
+    identical sample points up to fp rounding), but because |phi| <= binw/2
+    the hat support per static azimuth sector is a small static window slice
+    (sector_bounds). Consumers absorb the k roll where it is free: the
+    spectral familiarity path rotates the panorama spectra by
+    ``exp(i 2 pi f k / A)`` (familiarity_fft) and the per-lag statistics
+    gather residue classes shifted by k (make_lag_stats dynamic_roll).
+    """
+    if window_impl == "auto":
+        window_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    dx0_np, dy0_np = polar_offsets(sensor)
+    a_fine = sensor.n_fine
+    n_sectors = sensor.n_sectors
+    bounds = sector_bounds(sensor, n_sectors)
+    a_s = a_fine // n_sectors
+    binw = sensor.bin_width
+    wy_sz, wx_sz = window_geometry(sensor)
+    half = wx_sz // 2
+    # replicate-pad the landscape so the window never clips against the
+    # edge: in-window fractional position is then always frac(xy) + half,
+    # which the static sector bounds assume. PAD covers the footprint
+    # overhang (half) minus the off-landscape stop margin (r_max) plus one
+    # step of post-done drift and bilinear slack.
+    pad = max(0, half - int(np.floor(sensor.r_max)) + 2)
+    sectors = []
+    for s, (row_lo, n_rows, col_lo, n_cols) in enumerate(bounds):
+        cols = slice(s * a_s, (s + 1) * a_s)
+        sectors.append(
+            (
+                row_lo,
+                n_rows,
+                col_lo,
+                n_cols,
+                jnp.asarray(dx0_np[:, cols]),
+                jnp.asarray(dy0_np[:, cols]),
+                jnp.arange(col_lo, col_lo + n_cols, dtype=jnp.float32),
+                jnp.arange(row_lo, row_lo + n_rows, dtype=jnp.float32),
+            )
+        )
+    if sensor.hat_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown hat_dtype {sensor.hat_dtype!r}")
+    hat_bf16 = sensor.hat_dtype == "bfloat16"
+    chunk_b = 128 if sensor.n_radial >= 32 else 1024
+
+    if window_impl == "pallas":
+        from navdv_tpu.ops.window_pallas import make_window_gather_pallas
+
+        gather_win = make_window_gather_pallas(wy_sz, wx_sz)
+    elif window_impl == "xla":
+        def gather_win(landscape, by, bx):
+            return jax.vmap(
+                lambda y, x: jax.lax.dynamic_slice(landscape, (y, x), (wy_sz, wx_sz))
+            )(by, bx)
+    else:
+        raise ValueError(f"unknown window_impl {window_impl!r}")
+
+    def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
+        kf = jnp.round(theta / binw)
+        phi = theta - kf * binw
+        k = kf.astype(jnp.int32) % a_fine
+        b = xy.shape[0]
+        if chunk_b and b > chunk_b:
+            splits = [
+                _render_chunk(landscape, xy[i : i + chunk_b], phi[i : i + chunk_b])
+                for i in range(0, b, chunk_b)
+            ]
+            return jnp.concatenate(splits, axis=0), k
+        return _render_chunk(landscape, xy, phi), k
+
+    def _render_chunk(landscape: jnp.ndarray, xy: jnp.ndarray, phi: jnp.ndarray):
+        hl, wl = landscape.shape
+        # 4-side replicate pad (edge-clamp semantics); bottom carries 8 extra
+        # rows of kernel align-down slack, width pads to the DMA band
+        land_pad = jnp.pad(landscape, ((pad, pad + 8), (pad, pad)), mode="edge")
+        wp = wl + 2 * pad
+        if wp < 256:
+            land_pad = jnp.concatenate(
+                [land_pad, jnp.tile(land_pad[:, -1:], (1, 256 - wp))], axis=1
+            )
+        bx = jnp.clip(
+            jnp.floor(xy[:, 0]).astype(jnp.int32) + pad - half, 0, wp - wx_sz
+        )
+        by = jnp.clip(
+            jnp.floor(xy[:, 1]).astype(jnp.int32) + pad - half, 0, hl + 2 * pad - wy_sz
+        )
+        wins = gather_win(land_pad, by, bx)  # [B, wy, wx]
+        fx = xy[:, 0] + pad - bx.astype(jnp.float32)
+        fy = xy[:, 1] + pad - by.astype(jnp.float32)
+        b = xy.shape[0]
+        r = dx0_np.shape[0]
+        c = jnp.cos(phi)
+        s = jnp.sin(phi)
+        bcast = lambda v: v[:, None, None]
+        parts = []
+        # transposed-hat layout: taps live in SUBLANES and the merged
+        # (ring x sector-azimuth) axis in LANES, so every per-sector tensor
+        # has a lane-dense minor dim — the (r, a, taps) layout materialized
+        # tap-minor [B, R, As, ~11] tensors whose 128-lane tile padding cost
+        # ~6 ms/step of HBM copies at B=2048 (profiled)
+        for row_lo, n_rows, col_lo, n_cols, dxs, dys, iota_c, iota_r in sectors:
+            xs = jnp.clip(
+                bcast(fx) + bcast(c) * dxs - bcast(s) * dys,
+                col_lo,
+                col_lo + n_cols - 1,
+            ).reshape(b, 1, -1)  # [B, 1, R*As]
+            ys = jnp.clip(
+                bcast(fy) + bcast(s) * dxs + bcast(c) * dys,
+                row_lo,
+                row_lo + n_rows - 1,
+            ).reshape(b, 1, -1)
+            win_s = wins[:, row_lo : row_lo + n_rows, col_lo : col_lo + n_cols]
+            wxh = jnp.maximum(0.0, 1.0 - jnp.abs(xs - iota_c[:, None]))  # [B,nc,M]
+            wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_r[:, None]))  # [B,nr,M]
+            if hat_bf16:
+                t = jnp.einsum(
+                    "bpq,bqm->bpm",
+                    win_s.astype(jnp.bfloat16),
+                    wxh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # [B, nr, M]
+                part = jnp.sum(
+                    t * wyh.astype(jnp.bfloat16).astype(jnp.float32), axis=1
+                )
+            else:
+                t = jnp.einsum(
+                    "bpq,bqm->bpm", win_s, wxh, precision=jax.lax.Precision.HIGH
+                )
+                part = jnp.sum(t * wyh, axis=1)
+            parts.append(part.reshape(b, r, -1))  # [B, R, As]
+        return jnp.concatenate(parts, axis=-1)  # [B, R, A]
+
+    return render_b
+
+
 def make_candidate_views(sensor: SensorConfig, shifts: np.ndarray):
     """Build ``views(pano f32[R, A]) -> f32[Ns, P]``: the pooled sensor view at
     every shift in ``shifts`` (fine bins), flattened to P = R*W pixels.
@@ -311,7 +497,9 @@ def make_views_from_pooled(sensor: SensorConfig, shifts: np.ndarray):
     return views
 
 
-def make_lag_stats(sensor: SensorConfig, shifts: np.ndarray):
+def make_lag_stats(
+    sensor: SensorConfig, shifts: np.ndarray, dynamic_roll: bool = False
+):
     """Cheap per-lag candidate statistics straight from the pooled panorama:
     ``stats(S f32[B, R, A]) -> (sum f32[B, Ns], sumsq f32[B, Ns])`` where
     sum/sumsq are over the candidate's P pixels.
@@ -323,22 +511,48 @@ def make_lag_stats(sensor: SensorConfig, shifts: np.ndarray):
     round-1 ``colsum[:, col_idx]`` gather that materialized a [B, Ns, W]
     tensor (profiled 200 us/step of VMEM-write-bound traffic at BASELINE
     config 3, where Ns=125 and W=A=360 made every row the same full-circle
-    sum, computed 125 times)."""
+    sum, computed 125 times).
+
+    With ``dynamic_roll=True`` the returned fn takes ``(s, k i32[B])`` and
+    shifts each agent's residue classes by its sector-renderer roll k."""
     u = sensor.az_upsample
     w = sensor.n_azimuth
     inv_u = 1.0 / u
     residues = jnp.asarray(np.mod(np.asarray(shifts), u).astype(np.int32))  # [Ns]
 
-    def stats(s: jnp.ndarray):
+    def _per_residue(s: jnp.ndarray):
         colsum = jnp.sum(s, axis=1) * inv_u  # [B, A]
         colsq = jnp.sum(s * s, axis=1) * (inv_u * inv_u)  # [B, A]
         b = s.shape[0]
         # column a = w*u + j  ->  reshape [B, W, u], sum over w -> per-residue
         res_sum = jnp.sum(colsum.reshape(b, w, u), axis=1)  # [B, u]
         res_sq = jnp.sum(colsq.reshape(b, w, u), axis=1)  # [B, u]
-        return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
+        return res_sum, res_sq
 
-    return stats
+    if not dynamic_roll:
+        def stats(s: jnp.ndarray):
+            res_sum, res_sq = _per_residue(s)
+            return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
+
+        return stats
+
+    def stats_rolled(s: jnp.ndarray, k: jnp.ndarray):
+        """Sector-renderer variant: ``s`` is the pooled phi-frame panorama and
+        the true candidate at lag ``l`` occupies its columns ``w*u + l + k``,
+        i.e. residue class ``(l + k) mod u``. The per-agent select runs as a
+        one-hot contraction — take_along_axis lowers to a serial TPU gather
+        (profiled ~1 ms/step at B=2048)."""
+        res_sum, res_sq = _per_residue(s)
+        idx = jnp.mod(residues[None, :] + k[:, None], u)  # [B, Ns]
+        onehot = (idx[:, :, None] == jnp.arange(u)[None, None, :]).astype(
+            jnp.float32
+        )  # [B, Ns, u]
+        return (
+            jnp.einsum("bnu,bu->bn", onehot, res_sum),
+            jnp.einsum("bnu,bu->bn", onehot, res_sq),
+        )
+
+    return stats_rolled
 
 
 def make_render_view(sensor: SensorConfig):

@@ -1,0 +1,145 @@
+"""Sector renderer (heading = k*binw + phi decomposition) parity.
+
+The sector renderer must reproduce the full-window renderer exactly (up to
+fp rounding of the rotation) via the roll identity
+``pano_theta[a] == pano_phi[(a + k) % A]``, and the downstream k absorption
+(spectral phase rotation + residue-shifted lag stats) must reproduce the
+non-rolled familiarity numbers.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+from navdv_tpu.config import ScanConfig, SensorConfig, SimConfig
+from navdv_tpu.familiarity import pack_library
+from navdv_tpu.familiarity_fft import make_lib_min_fft
+from navdv_tpu.sensor import (
+    make_lag_stats,
+    make_render_batch,
+    make_render_batch_rolled,
+    scan_lag_sets,
+    sector_bounds,
+)
+
+
+def _roll_back(pano_phi: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """pano_theta[b, r, a] = pano_phi[b, r, (a + k_b) % A]."""
+    a = pano_phi.shape[-1]
+    out = np.empty_like(pano_phi)
+    for b in range(pano_phi.shape[0]):
+        idx = (np.arange(a) + int(k[b])) % a
+        out[b] = pano_phi[b][:, idx]
+    return out
+
+
+def test_sector_bounds_cover_window(small_cfg):
+    s = small_cfg.sensor
+    for row_lo, n_rows, col_lo, n_cols in sector_bounds(s, 8):
+        assert 0 <= row_lo and 0 < n_rows and row_lo + n_rows <= 20
+        assert 0 <= col_lo and 0 < n_cols and col_lo + n_cols <= 20
+        # the whole point: support strictly smaller than the 20x20 window
+        assert n_rows < 20 and n_cols < 20
+
+
+@pytest.mark.parametrize("hat_dtype,atol", [("float32", 2e-4), ("bfloat16", 2e-2)])
+def test_rolled_render_matches_full(small_cfg, small_world, rng, hat_dtype, atol):
+    landscape, _ = small_world
+    s = dataclasses.replace(small_cfg.sensor, hat_dtype=hat_dtype)
+    # poses inside the live-agent envelope (>= r_max - 2 from every edge):
+    # the sector renderer's replicate-pad guarantees exactness there
+    poses = rng.uniform(12, 116, size=(16, 2)).astype(np.float32)
+    thetas = jnp.asarray(rng.uniform(-7, 7, size=(16,)).astype(np.float32))
+    pano_phi, k = make_render_batch_rolled(s)(
+        jnp.asarray(landscape), jnp.asarray(poses), thetas
+    )
+    want = make_render_batch(s)(jnp.asarray(landscape), jnp.asarray(poses), thetas)
+    got = _roll_back(np.asarray(pano_phi), np.asarray(k))
+    assert np.all(np.asarray(k) >= 0) and np.all(np.asarray(k) < s.n_fine)
+    np.testing.assert_allclose(got, np.asarray(want), atol=atol)
+
+
+@pytest.mark.parametrize("metric", ["ssd", "ncc"])
+@pytest.mark.parametrize("u", [1, 3])
+def test_phase_rotation_matches_rolled_panorama(metric, u):
+    """lib_min_fft(s_phi, roll_k=k) == lib_min_fft(roll(s_phi, k)) exactly."""
+    sensor = SensorConfig(n_radial=4, n_azimuth=24, az_upsample=u, r_min=2.0, r_max=8.0)
+    scan = ScanConfig(n_headings=12, scan_step_bins=2, metric=metric, tol_bins=1)
+    lags, _ = scan_lag_sets(scan)
+    rng = np.random.default_rng(2)
+    b, nl = 6, 5
+    a = sensor.n_fine
+    s_phi = jnp.asarray(rng.random((b, sensor.n_radial, a)), jnp.float32)
+    k = jnp.asarray(rng.integers(0, a, size=(b,)), jnp.int32)
+    views = jnp.asarray(rng.random((nl, sensor.n_radial, sensor.n_azimuth)), jnp.float32)
+    lib = pack_library(views)
+
+    s_theta = jnp.asarray(_roll_back(np.asarray(s_phi), np.asarray(k)))
+    fft = make_lib_min_fft(sensor, scan, lags)
+    stats = make_lag_stats(sensor, lags)
+    stats_rolled = make_lag_stats(sensor, lags, dynamic_roll=True)
+
+    sum_t, sq_t = stats(s_theta)
+    sum_r, sq_r = stats_rolled(s_phi, k)
+    np.testing.assert_allclose(np.asarray(sum_r), np.asarray(sum_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sq_r), np.asarray(sq_t), rtol=1e-5)
+
+    m_direct = fft(s_theta, lib, sum_t, sq_t)
+    m_rot = fft(s_phi, lib, sum_r, sq_r, roll_k=k)
+    scale = float(jnp.max(jnp.abs(m_direct))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(m_rot), np.asarray(m_direct), atol=3e-4 * scale, rtol=3e-4
+    )
+
+
+@pytest.mark.parametrize("metric,tol_bins", [("ssd", 0), ("ncc", 2)])
+def test_sector_closed_loop_recall(small_world, metric, tol_bins, request):
+    """Episodes through the sector+fft step recall like the jnp full step."""
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    cfg = request.getfixturevalue("small_cfg")
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(cfg.scan, metric=metric, tol_bins=tol_bins),
+    )
+    cfg_sector = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(cfg.sensor, render_mode="sector")
+    )
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    b = 8
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.1, size=(b,))
+    states0 = init_state(starts, thetas)
+
+    f_jnp, _ = make_navigate_batch(cfg, fam_impl="jnp")(states0, st)
+    f_sec, _ = make_navigate_batch(cfg_sector, fam_impl="fft")(states0, st)
+    r_jnp, r_sec = float(success_rate(f_jnp)), float(success_rate(f_sec))
+    assert r_sec >= 0.75, (r_sec, r_jnp)
+    assert abs(r_sec - r_jnp) <= 0.25, (r_sec, r_jnp)
+
+
+def test_sector_falls_back_for_non_fft(small_cfg, small_world):
+    """Non-fft impls ignore the sector hint: identical results to full mode."""
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    cfg_sector = dataclasses.replace(
+        small_cfg, sensor=dataclasses.replace(small_cfg.sensor, render_mode="sector")
+    )
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, small_cfg.capture_spacing)
+    states0 = init_state(pts[0][None, :], np.asarray([headings[0]]))
+    f_full, rec_full = make_navigate_batch(small_cfg, fam_impl="jnp")(states0, st)
+    f_sec, rec_sec = make_navigate_batch(cfg_sector, fam_impl="jnp")(states0, st)
+    np.testing.assert_array_equal(np.asarray(rec_full.xy), np.asarray(rec_sec.xy))
