@@ -72,6 +72,14 @@ class ScanConfig:
     # Honored by fam_impl "jnp" and "conv"; the Pallas kernel is pinned to
     # HIGHEST (Mosaic does not support HIGH dot precision inside kernels).
     matmul_precision: str = "high"
+    # fam_impl="roll" + metric="ssd" only: rank of the exact low-rank split
+    # of the cross term, c.l = c.m + (c.U)y_v + c.r_v with r_v the library's
+    # residual off its top-k basis. The k-wide pieces run at HIGH; only the
+    # full-width residual matmul runs at one bf16 pass, where its error is
+    # bounded by |c|*|r_v|*2^-9 — negligible when the library is a smooth
+    # route (measured effective rank ~16 at BASELINE config 2's 500 views;
+    # tail |r|^2 ~ 1e-4). 0 = dense cross term at matmul_precision.
+    roll_rank: int = 0
 
     def shifts(self) -> list[int]:
         """Candidate fine-bin shifts relative to the current heading."""

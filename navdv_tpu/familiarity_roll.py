@@ -60,6 +60,79 @@ def _lag_grid(lags: np.ndarray, u: int):
     return qs_unique, grid_rows, inv_rows
 
 
+def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid,
+                      grid_rows_dev, u, nq):
+    """Exact low-rank split of the SSD cross term (ScanConfig.roll_rank).
+
+    With m the mean library view and l_v - m = U y_v + r_v for ANY basis
+    U f32[P, k] (r_v := the exact remainder), the identity
+
+        c.l_v = c.m + (c.U) y_v + c.r_v
+
+    holds in real arithmetic regardless of U's quality. Choosing U as the
+    library's top-k principal directions makes |r_v| tiny for smooth route
+    libraries (measured |r_v|^2 ~ 1e-4 vs |l|^2 ~ 160 at BASELINE config 2),
+    so the only full-width matmul left — c.r_v — can run at ONE bf16 pass:
+    its error is bounded by ~|c| |r_v| 2^-9 ~ 3e-4, far below the familiarity
+    valley, while the k-wide pieces stay at HIGH. 2.3x fewer MXU pass-FLOPs
+    than the dense HIGH cross term at config 2 (k=32).
+
+    The basis comes from an eigendecomposition of the library Gram matrix in
+    the per-episode prepare stage; zero-variance directions are zeroed, which
+    the identity absorbs exactly (their component rides in r_v).
+    """
+    hi = matmul_precision("high")
+
+    def prepare(lib: LibraryPack):
+        nl = lib.flat.shape[0]
+        k = min(rank, nl)
+        nv = jnp.maximum(jnp.sum(lib.valid), 1.0)
+        m = jnp.sum(lib.flat * lib.valid[:, None], axis=0) / nv  # [P]
+        zc = (lib.flat - m[None, :]) * lib.valid[:, None]  # [Nl, P]
+        gram = jnp.dot(zc, zc.T, precision=hi)  # [Nl, Nl]
+        w, v = jnp.linalg.eigh(gram)  # ascending
+        w_top = w[-k:]
+        v_top = v[:, -k:]  # [Nl, k]
+        ok = w_top > 1e-6 * jnp.maximum(w[-1], 1e-12)
+        inv_sig = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(w_top, 1e-12)), 0.0)
+        basis = jnp.dot(zc.T, v_top * inv_sig[None, :], precision=hi)  # [P, k]
+        y = jnp.dot(zc, basis, precision=hi)  # [Nl, k]
+        resid = zc - jnp.dot(y, basis.T, precision=hi)  # [Nl, P] exact remainder
+        return (
+            _prepare_rows(m[None, :]),  # [P, nq]
+            _prepare_rows(basis.T),  # [P, nq*k]
+            y,
+            _prepare_rows(resid),  # [P, nq*Nl]
+        )
+
+    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
+        mmat, umat, y, rmat = prepare(lib) if aux is None else aux
+        b = s.shape[0]
+        nl = lib.flat.shape[0]
+        k = umat.shape[1] // nq
+        t2 = _t_planes(s)  # [B*u, P]
+        cm = jnp.dot(t2, mmat, precision=hi).reshape(b, u, nq)
+        cu = jnp.dot(t2, umat, precision=hi).reshape(b, u, nq, k)
+        cuy = jnp.einsum("bjqk,vk->bjqv", cu, y, precision=hi)
+        cr = jnp.dot(
+            t2.astype(jnp.bfloat16),
+            rmat.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, u, nq, nl)
+        cross = cm[..., None] + cuy + cr
+        pen = (1.0 - lib.valid) * PAD_PENALTY
+        d = (
+            _to_grid(lag_sq)[..., None]
+            + (lib.sq + pen)[None, None, None, :]
+            - 2.0 * cross
+        )
+        m_grid = jnp.min(jnp.maximum(d, 0.0), axis=3)  # [B, u, nq]
+        return m_grid.reshape(-1, u * nq)[:, grid_rows_dev]  # [B, L]
+
+    lib_min.prepare = prepare
+    return lib_min
+
+
 def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     """Per-lag library minimum via the rolled-library matmul:
     ``lib_min(S f32[B, R, A], lib, lag_sum f32[B, L], lag_sq f32[B, L],
@@ -90,15 +163,19 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         zmat = jnp.transpose(zrolled, (2, 0, 1, 3)).reshape(nq * nl, r * w)
         return zmat.T  # [P, nq*Nl]
 
+    def _t_planes(s: jnp.ndarray) -> jnp.ndarray:
+        """S f32[B,R,A] -> residue phase planes f32[B*u, R*W]:
+        T[b, j, r, w] = S[b, r, w*u + j] / u (one transpose, no gather)."""
+        b = s.shape[0]
+        t = jnp.transpose(s.reshape(b, r, w, u), (0, 3, 1, 2)) * inv_u
+        return t.reshape(b * u, r * w)
+
     def _cross_grid(s: jnp.ndarray, zmat_t: jnp.ndarray) -> jnp.ndarray:
         """(S f32[B,R,A], prepared f32[P, |Q|*Nl]) -> f32[B, u, nq, Nl]
         where [b, j, qi, v] = cross of lag (j, q) against view v."""
         b = s.shape[0]
         nl = zmat_t.shape[1] // nq
-        # T[b, j, r, w] = S[b, r, w*u + j] / u   (one transpose, no gather)
-        t = jnp.transpose(s.reshape(b, r, w, u), (0, 3, 1, 2)) * inv_u
-        t2 = t.reshape(b * u, r * w)
-        cg = jnp.dot(t2, zmat_t, precision=prec)  # [B*u, nq*Nl]
+        cg = jnp.dot(_t_planes(s), zmat_t, precision=prec)  # [B*u, nq*Nl]
         return cg.reshape(b, u, nq, nl)  # free: rows (b,u), cols (nq,nl)
 
     def _to_grid(per_lag: jnp.ndarray) -> jnp.ndarray:
@@ -107,6 +184,11 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         return per_lag[:, inv_rows_dev].reshape(-1, u, nq)
 
     if scan.metric == "ssd":
+        if scan.roll_rank > 0:
+            return _make_ssd_lowrank(
+                scan.roll_rank, _prepare_rows, _t_planes, _to_grid,
+                grid_rows_dev, u, nq,
+            )
 
         def prepare(lib: LibraryPack):
             return _prepare_rows(lib.flat)

@@ -74,3 +74,62 @@ def test_roll_closed_loop_recall(small_world, metric, tol_bins, request):
     r_jnp, r_roll = float(sr(f_jnp)), float(sr(f_roll))
     assert r_roll >= 0.75, (r_roll, r_jnp)
     assert abs(r_roll - r_jnp) <= 0.25, (r_roll, r_jnp)
+
+
+@pytest.mark.parametrize("u", [1, 3])
+@pytest.mark.parametrize("rank", [2, 4, 16])
+def test_roll_lowrank_matches_dense(u, rank):
+    """roll_rank low-rank split == dense roll path (ssd), any rank.
+
+    The identity c.l = c.m + (c.U)y + c.r is exact for any basis, so even
+    rank 2 (huge residual) must agree to the bf16-residual error bound."""
+    cfg = _cfg("ssd", u)
+    cfg = dataclasses.replace(
+        cfg, scan=dataclasses.replace(cfg.scan, roll_rank=rank)
+    )
+    lags, _ = scan_lag_sets(cfg.scan)
+    rng = np.random.default_rng(3)
+    b, nl = 5, 9
+    r = cfg.sensor.n_radial
+    s = jnp.asarray(rng.random((b, r, cfg.sensor.n_fine)), jnp.float32)
+    views = jnp.asarray(rng.random((nl, r, cfg.sensor.n_azimuth)), jnp.float32)
+    lib = pack_library(views)
+
+    lag_stats = make_lag_stats(cfg.sensor, lags)
+    lag_sum, lag_sq = lag_stats(s)
+
+    dense = make_lib_min_roll(cfg.sensor, dataclasses.replace(cfg.scan, roll_rank=0), lags)
+    lowrank = make_lib_min_roll(cfg.sensor, cfg.scan, lags)
+    m_dense = dense(s, lib, lag_sum, lag_sq)
+    m_lr = lowrank(s, lib, lag_sum, lag_sq)
+    # residual cross term runs at one bf16 pass: error ~ |c| |r_v| 2^-9
+    scale = float(jnp.max(lib.sq)) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(m_lr), np.asarray(m_dense), atol=4e-3 * scale, rtol=4e-3
+    )
+
+
+def test_roll_lowrank_respects_padding():
+    cfg = _cfg("ssd", 3)
+    cfg = dataclasses.replace(cfg, scan=dataclasses.replace(cfg.scan, roll_rank=4))
+    lags, _ = scan_lag_sets(cfg.scan)
+    rng = np.random.default_rng(4)
+    r = cfg.sensor.n_radial
+    s = jnp.asarray(rng.random((3, r, cfg.sensor.n_fine)), jnp.float32)
+    views = jnp.asarray(rng.random((4, r, cfg.sensor.n_azimuth)), jnp.float32)
+    lib = pack_library(views)
+    lib_pad = lib._replace(
+        valid=jnp.asarray([1.0, 1.0, 0.0, 0.0]),
+        flat=lib.flat.at[2:].set(0.0),
+        z=lib.z.at[2:].set(0.0),
+        sq=lib.sq.at[2:].set(0.0),
+    )
+    lib_valid = pack_library(views[:2])
+    lag_stats = make_lag_stats(cfg.sensor, lags)
+    lag_sum, lag_sq = lag_stats(s)
+    f = make_lib_min_roll(cfg.sensor, cfg.scan, lags)
+    m_pad = f(s, lib_pad, lag_sum, lag_sq)
+    m_valid = f(s, lib_valid, lag_sum, lag_sq)
+    np.testing.assert_allclose(
+        np.asarray(m_pad), np.asarray(m_valid), rtol=4e-3, atol=4e-3
+    )
