@@ -104,6 +104,13 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     vre, vim = map(jnp.asarray, _inverse_lag_weights(a, np.asarray(lags)))
     inv_u = 1.0 / u
 
+    # stack re/im into one 2R-deep contraction only while that still fits a
+    # single 128-deep MXU tile: at R=16, two 2R=32-deep einsums beat four
+    # 16-deep ones; at R=64, 2R=128 gains nothing over K=64 while the sc/sd
+    # concat materializes 2x [B, 2R, F] to HBM (profiled 143 us/step at
+    # BASELINE config 3) — keep re/im separate there.
+    stack_reim = r < 64
+
     def _prepare_rows(zrows: jnp.ndarray):
         """Library-side spectra + row sums — per-episode constants, computed
         once through the prepare stage (agent.make_navigate_batch_fn) rather
@@ -113,11 +120,15 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         z = zrows.reshape(nl * r, w)
         zre = jnp.dot(z, zwre, precision=prec).reshape(nl, r, -1)
         zim = jnp.dot(z, zwim, precision=prec).reshape(nl, r, -1)
-        # stacked re/im (see _cross): [Nl, 2R, F]
-        zc = jnp.concatenate([zre, zim], axis=1)
-        return zc, rowsum_z
+        if stack_reim:
+            # stacked re/im (see _cross): [Nl, 2R, F]
+            return jnp.concatenate([zre, zim], axis=1), rowsum_z
+        return (zre, zim), rowsum_z
 
     f_idx = jnp.arange(a // 2 + 1, dtype=jnp.float32)
+    # the DC bin is removed from the spectral product (see _cross); for real
+    # input wim[:, 0] == 0 already, so masking the real part suffices
+    dc_mask = jnp.asarray(np.r_[0.0, np.ones(a // 2)].astype(np.float32))
 
     def _cross(s: jnp.ndarray, aux, roll_k=None) -> jnp.ndarray:
         """(S f32[B,R,A], prepared (zc, rowsum_z)) -> cross f32[B, Nl, L]
@@ -129,35 +140,44 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         complex rotation of the panorama spectra, so the lag synthesis below
         runs at the TRUE candidate lags with no rolled tensor materialized.
 
-        The panorama is mean-centered per (b, r) row before the DFT: the DC
-        spectral product |SF[0]||ZF[0]| otherwise dominates G (~1e4 on unit
+        The DC spectral product |SF[0]||ZF[0]| would dominate G (~1e4 on unit
         pixels), and its f32 rounding noise decorrelates across lags —
         measured 17x worse epsilon-optimality of the selected lag vs float64
-        at BASELINE config 2's dense library. Centering zeroes SF[0], and the
-        exact correction is lag-independent: sum_a mu[b,r]·zu[v,r,a] =
-        mu[b,r]·rowsum_z[v,r], one tiny [B,R]@[R,Nl] matmul."""
+        at BASELINE config 2's dense library. Mean-centering the panorama
+        only changes the DC bin, so instead of materializing a centered
+        [B, R, A] tensor the DC bin is masked out of the spectra (SF[0] is
+        the row sum, recovered as mu) and the exact lag-independent
+        correction sum_a mu[b,r]·zu[v,r,a] = mu[b,r]·rowsum_z[v,r] is added
+        back — one tiny [B,R]@[R,Nl] matmul."""
         zc, rowsum_z = aux
         b = s.shape[0]
-        mu = jnp.mean(s, axis=2)  # [B, R]
-        k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
-        flat = (s - mu[:, :, None]).reshape(b * r, a)
+        flat = s.reshape(b * r, a)
         # every matmul below must honor prec: plain `@` would run bf16x1 on
         # TPU, and DFT coefficients reach ~A·mean magnitude, so 0.4% bf16
         # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
         sre = jnp.dot(flat, wre, precision=prec).reshape(b, r, -1)
         sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
+        mu = sre[:, :, 0] / a  # SF[0] is the azimuth row sum
+        k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
+        sre = sre * dc_mask
         if roll_k is not None:
             ang = (2.0 * np.pi / a) * roll_k.astype(jnp.float32)[:, None] * f_idx
             ck = jnp.cos(ang)[:, None, :]  # [B, 1, F]
             sk = jnp.sin(ang)[:, None, :]
             sre, sim = sre * ck - sim * sk, sre * sk + sim * ck
-        # stack re/im into the contraction axis: two einsums with a 2R-deep
-        # contraction (a full 128 MXU tile at config 3) instead of four R-deep
-        # ones — same FLOPs, ~2x fewer passes
-        sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
-        sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
-        gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
-        gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prec)
+        if stack_reim:
+            sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
+            sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
+            gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
+            gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prec)
+        else:
+            zre, zim = zc
+            gre = jnp.einsum("brf,vrf->bvf", sre, zre, precision=prec) + jnp.einsum(
+                "brf,vrf->bvf", sim, zim, precision=prec
+            )
+            gim = jnp.einsum("brf,vrf->bvf", sim, zre, precision=prec) - jnp.einsum(
+                "brf,vrf->bvf", sre, zim, precision=prec
+            )
         # IDFT as einsum (NOT reshape->dot->reshape): the reshape round-trip
         # forced [B, Nl, F] layout copies around the batched matmul — profiled
         # 151 us/step at config 1; the einsum form lets XLA keep the spectral

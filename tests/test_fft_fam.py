@@ -105,3 +105,28 @@ def test_fft_closed_loop_recall(small_world, metric, tol_bins, request):
     r_jnp, r_fft = float(success_rate(f_jnp)), float(success_rate(f_fft))
     assert r_fft >= 0.75, (r_fft, r_jnp)
     assert abs(r_fft - r_jnp) <= 0.25, (r_fft, r_jnp)
+
+
+@pytest.mark.parametrize("metric", ["ssd", "ncc"])
+def test_fft_matches_matmul_tall_sensor(metric):
+    """R=64 exercises the unstacked re/im product path (stack_reim=False)."""
+    cfg = SimConfig(
+        sensor=SensorConfig(n_radial=64, n_azimuth=24, az_upsample=1,
+                            r_min=2.0, r_max=8.0),
+        scan=ScanConfig(n_headings=12, scan_step_bins=2, metric=metric, tol_bins=1),
+    )
+    lags, _ = scan_lag_sets(cfg.scan)
+    rng = np.random.default_rng(5)
+    b, nl = 4, 6
+    s = jnp.asarray(rng.random((b, 64, cfg.sensor.n_fine)), jnp.float32)
+    views = jnp.asarray(rng.random((nl, 64, cfg.sensor.n_azimuth)), jnp.float32)
+    lib = pack_library(views)
+    lag_stats = make_lag_stats(cfg.sensor, lags)
+    lag_sum, lag_sq = lag_stats(s)
+    cand = make_views_from_pooled(cfg.sensor, lags)(s)
+    m_ref = _make_lib_min(cfg, "jnp")(cand, lib, lag_sum, lag_sq)
+    m_fft = make_lib_min_fft(cfg.sensor, cfg.scan, lags)(s, lib, lag_sum, lag_sq)
+    scale = float(jnp.max(jnp.abs(m_ref))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(m_fft), np.asarray(m_ref), atol=2e-4 * scale, rtol=2e-4
+    )
