@@ -72,6 +72,13 @@ class ScanConfig:
     # Honored by fam_impl "jnp" and "conv"; the Pallas kernel is pinned to
     # HIGHEST (Mosaic does not support HIGH dot precision inside kernels).
     matmul_precision: str = "high"
+    # fam_impl="fft" only: precision of the spectral-product + lag-synthesis
+    # matmuls ("inherit" = matmul_precision). The forward DFT always runs at
+    # matmul_precision — its coefficients feed everything downstream.
+    # "default" (bf16x1) measured at BASELINE configs 1/3: +22%/+10% speed
+    # but recall 0.99 -> 0.81 / 1.00 -> 0.60 — the same flat-valley
+    # precision wall as roll_rank; only for workloads with recall slack.
+    fft_product_precision: str = "inherit"
     # fam_impl="roll" + metric="ssd" only: rank of the exact low-rank split
     # of the cross term, c.l = c.m + (c.U)y_v + c.r_v with r_v the library's
     # residual off its top-k basis. The k-wide pieces run at HIGH; only the

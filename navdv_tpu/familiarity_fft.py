@@ -103,6 +103,14 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     zwre, zwim = map(jnp.asarray, _library_weights(w, u, a))
     vre, vim = map(jnp.asarray, _inverse_lag_weights(a, np.asarray(lags)))
     inv_u = 1.0 / u
+    # precision of the spectral-product + lag-synthesis stages; the forward
+    # DFT always runs at scan.matmul_precision (its coefficients feed
+    # everything downstream)
+    prod_prec = matmul_precision(
+        scan.fft_product_precision
+        if scan.fft_product_precision != "inherit"
+        else scan.matmul_precision
+    )
 
     # stack re/im into one 2R-deep contraction only while that still fits a
     # single 128-deep MXU tile: at R=16, two 2R=32-deep einsums beat four
@@ -168,22 +176,22 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         if stack_reim:
             sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
             sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
-            gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prec)
-            gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prec)
+            gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prod_prec)
+            gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prod_prec)
         else:
             zre, zim = zc
-            gre = jnp.einsum("brf,vrf->bvf", sre, zre, precision=prec) + jnp.einsum(
-                "brf,vrf->bvf", sim, zim, precision=prec
+            gre = jnp.einsum("brf,vrf->bvf", sre, zre, precision=prod_prec) + jnp.einsum(
+                "brf,vrf->bvf", sim, zim, precision=prod_prec
             )
-            gim = jnp.einsum("brf,vrf->bvf", sim, zre, precision=prec) - jnp.einsum(
-                "brf,vrf->bvf", sre, zim, precision=prec
+            gim = jnp.einsum("brf,vrf->bvf", sim, zre, precision=prod_prec) - jnp.einsum(
+                "brf,vrf->bvf", sre, zim, precision=prod_prec
             )
         # IDFT as einsum (NOT reshape->dot->reshape): the reshape round-trip
         # forced [B, Nl, F] layout copies around the batched matmul — profiled
         # 151 us/step at config 1; the einsum form lets XLA keep the spectral
         # product's native layout (+20% end-to-end at config 1)
-        cross = jnp.einsum("bvf,fl->bvl", gre, vre, precision=prec) + jnp.einsum(
-            "bvf,fl->bvl", gim, vim, precision=prec
+        cross = jnp.einsum("bvf,fl->bvl", gre, vre, precision=prod_prec) + jnp.einsum(
+            "bvf,fl->bvl", gim, vim, precision=prod_prec
         )
         return (cross + k_corr[:, :, None]) * inv_u
 
