@@ -232,6 +232,8 @@ def make_step_batched(
     [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
     """
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
+    if cfg.sensor.render_mode not in ("full", "sector"):
+        raise ValueError(f"unknown render_mode {cfg.sensor.render_mode!r}")
     # the sector renderer's roll absorption is spectral-domain only: non-fft
     # impls fall back to the (numerically equivalent) full-window renderer
     sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"

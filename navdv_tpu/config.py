@@ -38,8 +38,10 @@ class SensorConfig:
     # sample offsets are nearly static and the azimuth circle splits into
     # static sectors whose hat support is ~11x11 instead of wsz x wsz (4.6x
     # fewer render FLOPs at 8 sectors). Bit-identical sampling math; the k
-    # roll is absorbed as a spectral phase rotation, so "sector" requires
-    # fam_impl="fft" (agent.make_step_batched enforces it).
+    # roll is absorbed as a spectral phase rotation, so "sector" takes
+    # effect only with fam_impl="fft" — other impls fall back to the
+    # (numerically equivalent) full renderer. Unknown values raise in
+    # agent.make_step_batched.
     render_mode: str = "full"
     n_sectors: int = 8
 

@@ -133,7 +133,7 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             return jnp.concatenate([zre, zim], axis=1), rowsum_z
         return (zre, zim), rowsum_z
 
-    f_idx = jnp.arange(a // 2 + 1, dtype=jnp.float32)
+    f_idx_i32 = jnp.arange(a // 2 + 1, dtype=jnp.int32)
     # the DC bin is removed from the spectral product (see _cross); for real
     # input wim[:, 0] == 0 already, so masking the real part suffices
     dc_mask = jnp.asarray(np.r_[0.0, np.ones(a // 2)].astype(np.float32))
@@ -169,7 +169,12 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
         sre = sre * dc_mask
         if roll_k is not None:
-            ang = (2.0 * np.pi / a) * roll_k.astype(jnp.float32)[:, None] * f_idx
+            # reduce k*f mod A in exact int32 first: the raw angle reaches
+            # ~A*pi rad where f32 quantization injects ~1e-4 phase noise —
+            # exactly the decorrelated per-lag noise scale that costs recall
+            # on flat-valley workloads (STATUS.md)
+            kf = jnp.mod(roll_k[:, None] * f_idx_i32[None, :], a)
+            ang = (2.0 * np.pi / a) * kf.astype(jnp.float32)
             ck = jnp.cos(ang)[:, None, :]  # [B, 1, F]
             sk = jnp.sin(ang)[:, None, :]
             sre, sim = sre * ck - sim * sk, sre * sk + sim * ck

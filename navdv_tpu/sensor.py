@@ -138,36 +138,23 @@ def window_geometry(sensor: SensorConfig) -> tuple[int, int]:
     return wx, wx
 
 
-def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
-    """Batched production renderer ``(landscape, xy f32[B,2], theta f32[B]) ->
-    pano f32[B, R, A]``.
+def _render_scaffold(sensor: SensorConfig, window_impl: str):
+    """Shared batched-renderer plumbing for make_render_batch and
+    make_render_batch_rolled: window-gather impl selection, hat_dtype
+    validation, and the fusion-cliff chunk policy.
 
-    Same hat-weight matmul math as make_render_panorama, but the window
-    extraction is pluggable: XLA's vmapped dynamic_slice runs at ~2 GiB/s
-    (profiled ~1 ms/step at B=1024), so on TPU it defaults to the Pallas
-    window-gather kernel (which handles all DMA alignment internally).
+    Chunk policy: for tall sensors at larger batches XLA stops fusing the
+    hat reduce into the einsum and materializes the f32 [B,R,A,wx]
+    intermediate to HBM (profiled 1.7 ms/step of pure traffic at BASELINE
+    config 3, B=256) — render in 128-agent chunks. Small sensors (config 1's
+    R=16) fuse fine unchunked at B=1024, and chunk at 1024 beyond that
+    (B=2048 unchunked: 841k steps/s; chunked: 856k — bench.py SPEC_BATCH).
     """
     if window_impl == "auto":
         window_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    dx0, dy0 = polar_offsets(sensor)
-    dx0 = jnp.asarray(dx0)
-    dy0 = jnp.asarray(dy0)
-    wy_sz, wx_sz = window_geometry(sensor)
-    half = wx_sz // 2
-    iota_x = jnp.arange(wx_sz, dtype=jnp.float32)
-    iota_y = jnp.arange(wy_sz, dtype=jnp.float32)
     if sensor.hat_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unknown hat_dtype {sensor.hat_dtype!r}")
-    hat_bf16 = sensor.hat_dtype == "bfloat16"
-    # fusion-cliff guard: for tall sensors at larger batches XLA stops fusing
-    # the hat reduce into the einsum and materializes the f32 [B,R,A,wx]
-    # intermediate to HBM (profiled 1.7 ms/step of pure traffic at BASELINE
-    # config 3, B=256). Rendering in 128-agent chunks keeps every chunk
-    # inside the fusion threshold; small sensors (config 1's R=16) fuse fine
-    # unchunked at B=1024, and chunk at 1024 beyond that (B=2048 unchunked:
-    # 841k steps/s; chunked: 856k — bench.py SPEC_BATCH).
-    chunk_b = 128 if sensor.n_radial >= 32 else 1024
-
+    wy_sz, wx_sz = window_geometry(sensor)
     if window_impl == "pallas":
         from navdv_tpu.ops.window_pallas import make_window_gather_pallas
 
@@ -179,16 +166,45 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
             )(by, bx)
     else:
         raise ValueError(f"unknown window_impl {window_impl!r}")
+    chunk_b = 128 if sensor.n_radial >= 32 else 1024
+    return gather_win, chunk_b, sensor.hat_dtype == "bfloat16"
+
+
+def _chunk_over_agents(render_chunk, chunk_b: int, landscape, *per_agent):
+    """Apply ``render_chunk(landscape, *per_agent_slices)`` in chunk_b-agent
+    chunks along axis 0 and concatenate (the fusion-cliff guard)."""
+    b = per_agent[0].shape[0]
+    if chunk_b and b > chunk_b:
+        return jnp.concatenate(
+            [
+                render_chunk(landscape, *(x[i : i + chunk_b] for x in per_agent))
+                for i in range(0, b, chunk_b)
+            ],
+            axis=0,
+        )
+    return render_chunk(landscape, *per_agent)
+
+
+def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
+    """Batched production renderer ``(landscape, xy f32[B,2], theta f32[B]) ->
+    pano f32[B, R, A]``.
+
+    Same hat-weight matmul math as make_render_panorama, but the window
+    extraction is pluggable: XLA's vmapped dynamic_slice runs at ~2 GiB/s
+    (profiled ~1 ms/step at B=1024), so on TPU it defaults to the Pallas
+    window-gather kernel (which handles all DMA alignment internally).
+    """
+    gather_win, chunk_b, hat_bf16 = _render_scaffold(sensor, window_impl)
+    dx0, dy0 = polar_offsets(sensor)
+    dx0 = jnp.asarray(dx0)
+    dy0 = jnp.asarray(dy0)
+    wy_sz, wx_sz = window_geometry(sensor)
+    half = wx_sz // 2
+    iota_x = jnp.arange(wx_sz, dtype=jnp.float32)
+    iota_y = jnp.arange(wy_sz, dtype=jnp.float32)
 
     def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
-        b = xy.shape[0]
-        if chunk_b and b > chunk_b:
-            splits = [
-                _render_chunk(landscape, xy[i : i + chunk_b], theta[i : i + chunk_b])
-                for i in range(0, b, chunk_b)
-            ]
-            return jnp.concatenate(splits, axis=0)
-        return _render_chunk(landscape, xy, theta)
+        return _chunk_over_agents(_render_chunk, chunk_b, landscape, xy, theta)
 
     def _render_chunk(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
         hl, wl = landscape.shape
@@ -294,8 +310,7 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
     ``exp(i 2 pi f k / A)`` (familiarity_fft) and the per-lag statistics
     gather residue classes shifted by k (make_lag_stats dynamic_roll).
     """
-    if window_impl == "auto":
-        window_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    gather_win, chunk_b, hat_bf16 = _render_scaffold(sensor, window_impl)
     dx0_np, dy0_np = polar_offsets(sensor)
     a_fine = sensor.n_fine
     n_sectors = sensor.n_sectors
@@ -325,35 +340,11 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
                 jnp.arange(row_lo, row_lo + n_rows, dtype=jnp.float32),
             )
         )
-    if sensor.hat_dtype not in ("float32", "bfloat16"):
-        raise ValueError(f"unknown hat_dtype {sensor.hat_dtype!r}")
-    hat_bf16 = sensor.hat_dtype == "bfloat16"
-    chunk_b = 128 if sensor.n_radial >= 32 else 1024
-
-    if window_impl == "pallas":
-        from navdv_tpu.ops.window_pallas import make_window_gather_pallas
-
-        gather_win = make_window_gather_pallas(wy_sz, wx_sz)
-    elif window_impl == "xla":
-        def gather_win(landscape, by, bx):
-            return jax.vmap(
-                lambda y, x: jax.lax.dynamic_slice(landscape, (y, x), (wy_sz, wx_sz))
-            )(by, bx)
-    else:
-        raise ValueError(f"unknown window_impl {window_impl!r}")
-
     def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
         kf = jnp.round(theta / binw)
         phi = theta - kf * binw
         k = kf.astype(jnp.int32) % a_fine
-        b = xy.shape[0]
-        if chunk_b and b > chunk_b:
-            splits = [
-                _render_chunk(landscape, xy[i : i + chunk_b], phi[i : i + chunk_b])
-                for i in range(0, b, chunk_b)
-            ]
-            return jnp.concatenate(splits, axis=0), k
-        return _render_chunk(landscape, xy, phi), k
+        return _chunk_over_agents(_render_chunk, chunk_b, landscape, xy, phi), k
 
     def _render_chunk(landscape: jnp.ndarray, xy: jnp.ndarray, phi: jnp.ndarray):
         hl, wl = landscape.shape
@@ -547,9 +538,13 @@ def make_lag_stats(
         onehot = (idx[:, :, None] == jnp.arange(u)[None, None, :]).astype(
             jnp.float32
         )  # [B, Ns, u]
+        # HIGHEST: the select must pass the ~1e4-magnitude stats through
+        # exactly — a default bf16x1 dot would round them by ~0.4%, the
+        # decorrelated per-lag noise class that breaks flat-valley argmins
+        hi = jax.lax.Precision.HIGHEST
         return (
-            jnp.einsum("bnu,bu->bn", onehot, res_sum),
-            jnp.einsum("bnu,bu->bn", onehot, res_sq),
+            jnp.einsum("bnu,bu->bn", onehot, res_sum, precision=hi),
+            jnp.einsum("bnu,bu->bn", onehot, res_sq, precision=hi),
         )
 
     return stats_rolled

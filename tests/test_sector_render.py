@@ -143,3 +143,13 @@ def test_sector_falls_back_for_non_fft(small_cfg, small_world):
     f_full, rec_full = make_navigate_batch(small_cfg, fam_impl="jnp")(states0, st)
     f_sec, rec_sec = make_navigate_batch(cfg_sector, fam_impl="jnp")(states0, st)
     np.testing.assert_array_equal(np.asarray(rec_full.xy), np.asarray(rec_sec.xy))
+
+
+def test_unknown_render_mode_raises(small_cfg):
+    from navdv_tpu.agent import make_step_batched
+
+    cfg = dataclasses.replace(
+        small_cfg, sensor=dataclasses.replace(small_cfg.sensor, render_mode="secotr")
+    )
+    with pytest.raises(ValueError, match="render_mode"):
+        make_step_batched(cfg, fam_impl="jnp")
