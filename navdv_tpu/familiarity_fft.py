@@ -134,9 +134,11 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         return (zre, zim), rowsum_z
 
     f_idx_i32 = jnp.arange(a // 2 + 1, dtype=jnp.int32)
-    # the DC bin is removed from the spectral product (see _cross); for real
-    # input wim[:, 0] == 0 already, so masking the real part suffices
-    dc_mask = jnp.asarray(np.r_[0.0, np.ones(a // 2)].astype(np.float32))
+    # the DC bin is removed from the spectral product (see _cross) by zeroing
+    # column 0 of the forward weights — folding the mask into the static
+    # weights costs nothing, vs ~94 us/step for an elementwise mask pass on
+    # [B, R, F] at config 1 (wim[:, 0] == 0 already for real input)
+    wre_dc = wre.at[:, 0].set(0.0)
 
     def _cross(s: jnp.ndarray, aux, roll_k=None) -> jnp.ndarray:
         """(S f32[B,R,A], prepared (zc, rowsum_z)) -> cross f32[B, Nl, L]
@@ -163,11 +165,10 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         # every matmul below must honor prec: plain `@` would run bf16x1 on
         # TPU, and DFT coefficients reach ~A·mean magnitude, so 0.4% bf16
         # noise swamps the SSD/NCC argmin (measured recall 0.99 -> 0.07)
-        sre = jnp.dot(flat, wre, precision=prec).reshape(b, r, -1)
+        sre = jnp.dot(flat, wre_dc, precision=prec).reshape(b, r, -1)
         sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
-        mu = sre[:, :, 0] / a  # SF[0] is the azimuth row sum
+        mu = jnp.mean(s, axis=2)  # [B, R] — the (masked-out) SF[0] / A
         k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
-        sre = sre * dc_mask
         if roll_k is not None:
             # reduce k*f mod A in exact int32 first: the raw angle reaches
             # ~A*pi rad where f32 quantization injects ~1e-4 phase noise —
