@@ -14,7 +14,7 @@ import os
 
 
 def _add_world_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--landscape", default="blobs", choices=["blobs", "noise", "checker", "flat"])
+    p.add_argument("--landscape", default="blobs", choices=["blobs", "noise", "fractal", "checker", "flat"])
     p.add_argument("--landscape-file", default=None,
                    help="image (PNG/JPEG) or .npy texture; overrides --landscape")
     p.add_argument("--size", type=int, default=512)

@@ -45,6 +45,22 @@ def _noise(rng: np.random.Generator, size: tuple[int, int], smooth: float) -> np
     return img
 
 
+def _fractal(rng: np.random.Generator, size: tuple[int, int], beta: float) -> np.ndarray:
+    """1/f^beta spectral noise — natural-scene spatial statistics (the
+    standard naturalistic texture in the visual-navigation literature;
+    beta ~ 2 matches natural image power spectra)."""
+    h, w = size
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    f = np.sqrt(fy * fy + fx * fx)
+    f[0, 0] = 1.0  # DC handled below
+    amp = f ** (-beta / 2.0)
+    amp[0, 0] = 0.0
+    phase = rng.uniform(0, 2 * np.pi, size=(h, w))
+    spec = amp * np.exp(1j * phase)
+    return np.real(np.fft.ifft2(spec))
+
+
 def _checker(size: tuple[int, int], cell: int) -> np.ndarray:
     h, w = size
     yy, xx = np.mgrid[0:h, 0:w]
@@ -69,17 +85,21 @@ def make_landscape(
     n_features: int = 150,
     smooth: float = 4.0,
     cell: int = 32,
+    beta: float = 2.0,
 ) -> np.ndarray:
     """Synthesize an f32[H, W] landscape in [0, 1].
 
-    kinds: ``blobs`` | ``noise`` | ``checker`` | ``flat`` (featureless
-    negative control — recall must fail on it, SURVEY.md §4.3).
+    kinds: ``blobs`` | ``noise`` | ``fractal`` (1/f^beta natural-scene
+    statistics) | ``checker`` | ``flat`` (featureless negative control —
+    recall must fail on it, SURVEY.md §4.3).
     """
     rng = np.random.default_rng(seed)
     if kind == "blobs":
         return _normalize(_blobs(rng, size, n_features))
     if kind == "noise":
         return _normalize(_noise(rng, size, smooth))
+    if kind == "fractal":
+        return _normalize(_fractal(rng, size, beta))
     if kind == "checker":
         return _normalize(_checker(size, cell))
     if kind == "flat":

@@ -98,3 +98,25 @@ def test_route_recall_fails_on_flat_landscape(small_cfg):
     # candidate ties, argmin picks candidate 0 (max left turn) forever.
     out = oracle.navigate(flat, lib, route, pts[len(pts) // 2], headings[0] + 1.0, small_cfg)
     assert not out["success"]
+
+
+def test_route_recall_on_fractal_landscape(small_cfg):
+    """1/f natural-statistics landscape supports route recall like blobs."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.routes import make_route
+    from navdv_tpu.training import train_library
+
+    landscape = make_landscape("fractal", size=(128, 128), seed=1)
+    assert landscape.shape == (128, 128)
+    assert 0.0 <= landscape.min() and landscape.max() <= 1.0
+    route = make_route("line", size=(128, 128), margin=32.0, length=40.0)
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, small_cfg.capture_spacing)
+    states0 = init_state(pts[0][None, :], np.asarray([headings[0]]))
+    final, _ = make_navigate_batch(small_cfg)(states0, st)
+    assert float(success_rate(final)) == 1.0
