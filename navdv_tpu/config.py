@@ -44,6 +44,13 @@ class SensorConfig:
     # agent.make_step_batched.
     render_mode: str = "full"
     n_sectors: int = 8
+    # sector mode only: split the rings into this many contiguous blocks
+    # with per-block tap bounds. Inner rings have much smaller hat support
+    # (2 blocks: 23% fewer weight elements at the config-3 sensor), but the
+    # measured end-to-end result is a LOSS — per-piece overhead beats the
+    # savings (config 3: 272k at 1 block, 264k at 2, 239k at 4) — so the
+    # default stays 1; the knob remains for other geometries.
+    ring_blocks: int = 1
 
     @property
     def n_fine(self) -> int:

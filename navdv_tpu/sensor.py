@@ -251,17 +251,21 @@ def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
 
 
 def sector_bounds(
-    sensor: SensorConfig, n_sectors: int
-) -> list[tuple[int, int, int, int]]:
-    """Static per-sector hat support: ``[(row_lo, n_rows, col_lo, n_cols)]``.
+    sensor: SensorConfig, n_sectors: int, ring_blocks: int = 1
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Static per-piece hat support:
+    ``[(ring_lo, n_rings, row_lo, n_rows, col_lo, n_cols)]`` over
+    ``ring_blocks x n_sectors`` pieces (ring-block-major order).
 
     With the heading decomposed as ``theta = k*bin_width + phi``
     (|phi| <= bin_width/2), the in-window sample position for azimuth column
     ``a`` is ``frac(xy) + half + Rot(phi) @ (dx0, dy0)[:, a]`` — nearly static.
-    For each contiguous block of azimuth columns the reachable positions span
-    a small static box; the hat weights are zero outside it, so the bilinear
-    contraction only needs that slice of the window (~11x11 of 24x24 at the
-    default sensor with 8 sectors: 4.6x fewer FLOPs).
+    For each contiguous block of (rings x azimuth columns) the reachable
+    positions span a small static box; the hat weights are zero outside it,
+    so the bilinear contraction only needs that slice of the window (~11x11
+    of 24x24 at the default sensor with 8 sectors; inner-ring blocks are
+    smaller still — 2 ring blocks cut weight elements a further 23% at the
+    BASELINE config-3 sensor).
     """
     a = sensor.n_fine
     if a % n_sectors:
@@ -271,27 +275,33 @@ def sector_bounds(
     half = wsz // 2
     binw = sensor.bin_width
     a_s = a // n_sectors
+    blocks = np.array_split(np.arange(sensor.n_radial), ring_blocks)
     out = []
-    for s in range(n_sectors):
-        cols = slice(s * a_s, (s + 1) * a_s)
-        txs, tys = [], []
-        for phi in (-binw / 2, 0.0, binw / 2):
-            c, si = np.cos(phi), np.sin(phi)
-            txs.append(c * dx0[:, cols] - si * dy0[:, cols])
-            tys.append(si * dx0[:, cols] + c * dy0[:, cols])
-        tx = np.stack(txs)
-        ty = np.stack(tys)
+    for rb in blocks:
+        for s in range(n_sectors):
+            cols = np.arange(s * a_s, (s + 1) * a_s)
+            txs, tys = [], []
+            for phi in (-binw / 2, 0.0, binw / 2):
+                c, si = np.cos(phi), np.sin(phi)
+                dxb = dx0[np.ix_(rb, cols)]
+                dyb = dy0[np.ix_(rb, cols)]
+                txs.append(c * dxb - si * dyb)
+                tys.append(si * dxb + c * dyb)
+            tx = np.stack(txs)
+            ty = np.stack(tys)
 
-        def rng(t):
-            # sample in [half + t.min, half + 1 + t.max); both hat taps of
-            # every in-range sample land inside [lo, lo + n)
-            lo = int(np.clip(np.floor(half + t.min() - 1e-3), 0, wsz - 2))
-            hi = int(np.clip(np.floor(half + 1 + t.max() + 1e-3) + 1, lo + 1, wsz - 1))
-            return lo, hi - lo + 1
+            def rng(t):
+                # sample in [half + t.min, half + 1 + t.max); both hat taps
+                # of every in-range sample land inside [lo, lo + n)
+                lo = int(np.clip(np.floor(half + t.min() - 1e-3), 0, wsz - 2))
+                hi = int(
+                    np.clip(np.floor(half + 1 + t.max() + 1e-3) + 1, lo + 1, wsz - 1)
+                )
+                return lo, hi - lo + 1
 
-        col_lo, n_cols = rng(tx)
-        row_lo, n_rows = rng(ty)
-        out.append((row_lo, n_rows, col_lo, n_cols))
+            col_lo, n_cols = rng(tx)
+            row_lo, n_rows = rng(ty)
+            out.append((int(rb[0]), len(rb), row_lo, n_rows, col_lo, n_cols))
     return out
 
 
@@ -314,7 +324,8 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
     dx0_np, dy0_np = polar_offsets(sensor)
     a_fine = sensor.n_fine
     n_sectors = sensor.n_sectors
-    bounds = sector_bounds(sensor, n_sectors)
+    n_ring_blocks = sensor.ring_blocks
+    bounds = sector_bounds(sensor, n_sectors, n_ring_blocks)
     a_s = a_fine // n_sectors
     binw = sensor.bin_width
     wy_sz, wx_sz = window_geometry(sensor)
@@ -325,17 +336,19 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
     # overhang (half) minus the off-landscape stop margin (r_max) plus one
     # step of post-done drift and bilinear slack.
     pad = max(0, half - int(np.floor(sensor.r_max)) + 2)
-    sectors = []
-    for s, (row_lo, n_rows, col_lo, n_cols) in enumerate(bounds):
-        cols = slice(s * a_s, (s + 1) * a_s)
-        sectors.append(
+    pieces = []
+    for i, (ring_lo, n_rings, row_lo, n_rows, col_lo, n_cols) in enumerate(bounds):
+        cols = slice((i % n_sectors) * a_s, (i % n_sectors + 1) * a_s)
+        rows = slice(ring_lo, ring_lo + n_rings)
+        pieces.append(
             (
+                n_rings,
                 row_lo,
                 n_rows,
                 col_lo,
                 n_cols,
-                jnp.asarray(dx0_np[:, cols]),
-                jnp.asarray(dy0_np[:, cols]),
+                jnp.asarray(dx0_np[rows, cols]),
+                jnp.asarray(dy0_np[rows, cols]),
                 jnp.arange(col_lo, col_lo + n_cols, dtype=jnp.float32),
                 jnp.arange(row_lo, row_lo + n_rows, dtype=jnp.float32),
             )
@@ -366,22 +379,21 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
         fx = xy[:, 0] + pad - bx.astype(jnp.float32)
         fy = xy[:, 1] + pad - by.astype(jnp.float32)
         b = xy.shape[0]
-        r = dx0_np.shape[0]
         c = jnp.cos(phi)
         s = jnp.sin(phi)
         bcast = lambda v: v[:, None, None]
         parts = []
         # transposed-hat layout: taps live in SUBLANES and the merged
-        # (ring x sector-azimuth) axis in LANES, so every per-sector tensor
+        # (ring x sector-azimuth) axis in LANES, so every per-piece tensor
         # has a lane-dense minor dim — the (r, a, taps) layout materialized
         # tap-minor [B, R, As, ~11] tensors whose 128-lane tile padding cost
         # ~6 ms/step of HBM copies at B=2048 (profiled)
-        for row_lo, n_rows, col_lo, n_cols, dxs, dys, iota_c, iota_r in sectors:
+        for n_rings, row_lo, n_rows, col_lo, n_cols, dxs, dys, iota_c, iota_r in pieces:
             xs = jnp.clip(
                 bcast(fx) + bcast(c) * dxs - bcast(s) * dys,
                 col_lo,
                 col_lo + n_cols - 1,
-            ).reshape(b, 1, -1)  # [B, 1, R*As]
+            ).reshape(b, 1, -1)  # [B, 1, n_rings*As]
             ys = jnp.clip(
                 bcast(fy) + bcast(s) * dxs + bcast(c) * dys,
                 row_lo,
@@ -405,8 +417,13 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
                     "bpq,bqm->bpm", win_s, wxh, precision=jax.lax.Precision.HIGH
                 )
                 part = jnp.sum(t * wyh, axis=1)
-            parts.append(part.reshape(b, r, -1))  # [B, R, As]
-        return jnp.concatenate(parts, axis=-1)  # [B, R, A]
+            parts.append(part.reshape(b, n_rings, -1))  # [B, n_rings, As]
+        # reassemble: azimuth concat within each ring block, rings across
+        blocks = [
+            jnp.concatenate(parts[i : i + n_sectors], axis=-1)
+            for i in range(0, len(parts), n_sectors)
+        ]
+        return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
 
     return render_b
 

@@ -38,7 +38,10 @@ def _roll_back(pano_phi: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 def test_sector_bounds_cover_window(small_cfg):
     s = small_cfg.sensor
-    for row_lo, n_rows, col_lo, n_cols in sector_bounds(s, 8):
+    bounds = sector_bounds(s, 8)
+    assert [b[0] for b in bounds] == [0] * 8  # single ring block
+    for _, n_rings, row_lo, n_rows, col_lo, n_cols in bounds:
+        assert n_rings == s.n_radial
         assert 0 <= row_lo and 0 < n_rows and row_lo + n_rows <= 20
         assert 0 <= col_lo and 0 < n_cols and col_lo + n_cols <= 20
         # the whole point: support strictly smaller than the 20x20 window
@@ -153,3 +156,22 @@ def test_unknown_render_mode_raises(small_cfg):
     )
     with pytest.raises(ValueError, match="render_mode"):
         make_step_batched(cfg, fam_impl="jnp")
+
+
+@pytest.mark.parametrize("ring_blocks", [2, 3])
+def test_rolled_render_ring_blocks(small_cfg, small_world, rng, ring_blocks):
+    """Ring-blocked sector bounds reproduce the unblocked sector renderer."""
+    landscape, _ = small_world
+    s = dataclasses.replace(small_cfg.sensor, ring_blocks=ring_blocks)
+    poses = rng.uniform(12, 116, size=(8, 2)).astype(np.float32)
+    thetas = jnp.asarray(rng.uniform(-7, 7, size=(8,)).astype(np.float32))
+    pano_rb, k_rb = make_render_batch_rolled(s)(
+        jnp.asarray(landscape), jnp.asarray(poses), thetas
+    )
+    pano_1, k_1 = make_render_batch_rolled(small_cfg.sensor)(
+        jnp.asarray(landscape), jnp.asarray(poses), thetas
+    )
+    np.testing.assert_array_equal(np.asarray(k_rb), np.asarray(k_1))
+    np.testing.assert_allclose(
+        np.asarray(pano_rb), np.asarray(pano_1), atol=2e-6
+    )
