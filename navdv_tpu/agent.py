@@ -280,24 +280,22 @@ def make_step_batched(
 
             render_roll = make_render_batch_rolled(cfg.sensor)
 
-            def step(states: AgentState, st: EpisodeStatics, aux=None):
+            def render_front(states, st):
                 pano, k = render_roll(st.landscape, states.xy, states.theta)
-                s = pooled_f(pano)
-                lag_sum, lag_sq = lag_stats_f(s, k)
-                m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux, roll_k=k)
-                if lib_axis is not None:
-                    m = jax.lax.pmin(m, lib_axis)
-                fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
-                return decide(states, fam, st)
-
-            step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
-            return step
+                return pooled_f(pano), k
+        else:
+            def render_front(states, st):
+                pano = render_b(st.landscape, states.xy, states.theta)
+                return pooled_f(pano), None
 
         def step(states: AgentState, st: EpisodeStatics, aux=None):
-            pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
-            s = pooled_f(pano)
-            lag_sum, lag_sq = lag_stats_f(s)
-            m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux)  # [B, L]
+            s, k = render_front(states, st)  # s: pooled [B, R, A]
+            if k is None:
+                lag_sum, lag_sq = lag_stats_f(s)
+                m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux)  # [B, L]
+            else:
+                lag_sum, lag_sq = lag_stats_f(s, k)
+                m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux, roll_k=k)
             if lib_axis is not None:
                 m = jax.lax.pmin(m, lib_axis)
             fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]

@@ -34,6 +34,11 @@ MATMUL_PRECISIONS = {
 
 
 def matmul_precision(name: str) -> jax.lax.Precision:
+    if name not in MATMUL_PRECISIONS:
+        raise ValueError(
+            f"unknown matmul precision {name!r} "
+            f"(valid: {sorted(MATMUL_PRECISIONS)})"
+        )
     return MATMUL_PRECISIONS[name]
 
 

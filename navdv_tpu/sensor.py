@@ -275,7 +275,11 @@ def sector_bounds(
     half = wsz // 2
     binw = sensor.bin_width
     a_s = a // n_sectors
-    blocks = np.array_split(np.arange(sensor.n_radial), ring_blocks)
+    # more blocks than rings would produce empty blocks (and zero-size
+    # reductions below); clamp — the extra blocks could never help anyway
+    blocks = np.array_split(
+        np.arange(sensor.n_radial), min(ring_blocks, sensor.n_radial)
+    )
     out = []
     for rb in blocks:
         for s in range(n_sectors):
@@ -543,6 +547,15 @@ def make_lag_stats(
             return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
 
         return stats
+
+    if u == 1:
+        # a single residue class: the roll is a provable no-op, so skip the
+        # one-hot select on the sector hot path (BASELINE config 3 has u=1)
+        def stats_trivial(s: jnp.ndarray, k: jnp.ndarray):
+            res_sum, res_sq = _per_residue(s)
+            return res_sum[:, residues], res_sq[:, residues]
+
+        return stats_trivial
 
     def stats_rolled(s: jnp.ndarray, k: jnp.ndarray):
         """Sector-renderer variant: ``s`` is the pooled phi-frame panorama and
