@@ -129,8 +129,15 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         zre = jnp.dot(z, zwre, precision=prec).reshape(nl, r, -1)
         zim = jnp.dot(z, zwim, precision=prec).reshape(nl, r, -1)
         if stack_reim:
-            # stacked re/im (see _cross): [Nl, 2R, F]
-            return jnp.concatenate([zre, zim], axis=1), rowsum_z
+            # stacked re/im (see _cross): the candidate side stacks ONCE as
+            # sc = [sre; sim]; both G components come from library-side
+            # stackings (per-episode constants): gre = sc.zc with
+            # zc = [zre; zim], gim = sc.zd with zd = [-zim; zre] — the
+            # per-step sd = [sim; -sre] concat this replaces moved 2x
+            # [B, 2R, F] through HBM (~88 us/step at config 1)
+            zc = jnp.concatenate([zre, zim], axis=1)  # [Nl, 2R, F]
+            zd = jnp.concatenate([-zim, zre], axis=1)
+            return (zc, zd), rowsum_z
         return (zre, zim), rowsum_z
 
     f_idx_i32 = jnp.arange(a // 2 + 1, dtype=jnp.int32)
@@ -180,10 +187,10 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             sk = jnp.sin(ang)[:, None, :]
             sre, sim = sre * ck - sim * sk, sre * sk + sim * ck
         if stack_reim:
+            zc_s, zd_s = zc
             sc = jnp.concatenate([sre, sim], axis=1)  # [B, 2R, F]
-            sd = jnp.concatenate([sim, -sre], axis=1)  # [B, 2R, F]
-            gre = jnp.einsum("brf,vrf->bvf", sc, zc, precision=prod_prec)
-            gim = jnp.einsum("brf,vrf->bvf", sd, zc, precision=prod_prec)
+            gre = jnp.einsum("brf,vrf->bvf", sc, zc_s, precision=prod_prec)
+            gim = jnp.einsum("brf,vrf->bvf", sc, zd_s, precision=prod_prec)
         else:
             zre, zim = zc
             gre = jnp.einsum("brf,vrf->bvf", sre, zre, precision=prod_prec) + jnp.einsum(
