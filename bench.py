@@ -225,6 +225,73 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
     }
 
 
+def run_sector_gate() -> dict:
+    """On-TPU parity gate for the sector renderer (render_mode="sector"):
+    the rolled-back phi-frame panorama must match the full-window renderer
+    on real hardware (the unit tests run this check on CPU only), and the
+    closed loop through sector+fft must recall. Emitted by --all so every
+    round leaves an artifact proving the roll identity holds on the chip."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import navdv_tpu as nav
+    from navdv_tpu import oracle
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.config import baseline_config
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.sensor import make_render_batch, make_render_batch_rolled
+
+    cfg = baseline_config(3)  # the sector-mode BASELINE config
+    landscape, route = _world(40.0)
+    arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
+    cfg = dataclasses.replace(
+        cfg,
+        capture_spacing=arc / SPEC_VIEWS[3],
+        agent=dataclasses.replace(cfg.agent, max_steps=int(arc * 1.3)),
+    )
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    b = 64
+    starts = pts[0][None, :] + rng.normal(0, 1.5, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.5, size=(b,))
+
+    pano_phi, k = jax.jit(make_render_batch_rolled(cfg.sensor))(
+        jnp.asarray(landscape), jnp.asarray(starts, jnp.float32),
+        jnp.asarray(thetas, jnp.float32),
+    )
+    want = jax.jit(make_render_batch(cfg.sensor))(
+        jnp.asarray(landscape), jnp.asarray(starts, jnp.float32),
+        jnp.asarray(thetas, jnp.float32),
+    )
+    pano_phi = np.asarray(pano_phi)
+    k = np.asarray(k)
+    a = pano_phi.shape[-1]
+    rolled = np.stack(
+        [pano_phi[i][:, (np.arange(a) + k[i]) % a] for i in range(b)]
+    )
+    err = float(np.max(np.abs(rolled - np.asarray(want))))
+
+    lib = nav.train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    final, _ = make_navigate_batch(cfg, fam_impl="fft")(
+        init_state(starts, thetas), st
+    )
+    rate = float(success_rate(final))
+    # bf16 hat weights bound the roll-identity mismatch at ~1e-2 pixel noise
+    ok = err <= 3e-2 and rate >= 0.9
+    return {
+        "metric": "sector_parity_gate",
+        "config": 3,
+        "batch": b,
+        "pano_roll_abs_err": round(err, 6),
+        "success_rate": round(rate, 4),
+        "ok": bool(ok),
+        "device": str(jax.devices()[0].platform),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1)
@@ -251,6 +318,7 @@ def main() -> None:
                 cfg_n, args.batch, args.steps, args.impl,
                 views=args.views, route_length=args.route_length)))
         print(json.dumps(run_pallas_gate(route_length=args.route_length)))
+        print(json.dumps(run_sector_gate()))
         return
     result = run_bench(args.config, args.batch, args.steps, args.impl,
                        views=args.views, route_length=args.route_length)
