@@ -58,26 +58,18 @@ def _world(route_length: float):
     return landscape, route
 
 
-def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = None,
-              impl: str = "default", repeats: int = 3, views: int | None = None,
-              route_length: float = 40.0) -> dict:
+def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
+           steps: int | None = None):
+    """Shared world + config construction for every bench entry point:
+    spec-exact stored-view count and a step budget covering the route arc.
+    Returns (cfg, landscape, route, pts, headings)."""
     import dataclasses
 
-    import jax
-
-    import navdv_tpu as nav
     from navdv_tpu import oracle
-    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
-    from navdv_tpu.config import baseline_config, baseline_fam_impl
-    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.config import baseline_config
 
-    if impl == "default":
-        impl = baseline_fam_impl(config_n)
-    if batch is None:
-        batch = SPEC_BATCH.get(config_n, 1024)
     if views is None:
         views = SPEC_VIEWS.get(config_n, 50)
-
     cfg = baseline_config(config_n)
     landscape, route = _world(route_length)
     arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
@@ -86,12 +78,36 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         steps = int(arc / cfg.agent.step_size * 1.3)
     cfg = dataclasses.replace(
         cfg,
-        capture_spacing=arc / views,
+        # resample_route keeps floor(arc/spacing)+1 points, so arc/(views-.5)
+        # lands on exactly `views` regardless of fp rounding (arc/views gave
+        # views+1 whenever the division rounded down, e.g. --route-length 200)
+        capture_spacing=arc / (views - 0.5),
         agent=dataclasses.replace(cfg.agent, max_steps=steps),
+    )
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    return cfg, landscape, route, pts, headings
+
+
+def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = None,
+              impl: str = "default", repeats: int = 3, views: int | None = None,
+              route_length: float = 40.0) -> dict:
+    import jax
+
+    import navdv_tpu as nav
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.config import baseline_fam_impl
+    from navdv_tpu.metrics import success_rate
+
+    if impl == "default":
+        impl = baseline_fam_impl(config_n)
+    if batch is None:
+        batch = SPEC_BATCH.get(config_n, 1024)
+
+    cfg, landscape, route, pts, headings = _setup(
+        config_n, views, route_length, steps
     )
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
-    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
 
     rng = np.random.default_rng(0)
     starts = pts[0][None, :] + rng.normal(0, 1.5, size=(batch, 2))
@@ -133,20 +149,16 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
     matmul path on real rendered panoramas, plus closed-loop recall through
     the kernel. Emitted by --all so every round leaves an artifact proving the
     kernel works on hardware (VERDICT round 1, item 5)."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
     import navdv_tpu as nav
-    from navdv_tpu import oracle
     from navdv_tpu.agent import (
         _make_lib_min,
         init_state,
         make_navigate_batch,
         make_statics,
     )
-    from navdv_tpu.config import baseline_config
     from navdv_tpu.metrics import success_rate
     from navdv_tpu.sensor import (
         make_lag_stats,
@@ -156,17 +168,9 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
         scan_lag_sets,
     )
 
-    cfg = baseline_config(1)
-    landscape, route = _world(route_length)
-    arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
-    cfg = dataclasses.replace(
-        cfg,
-        capture_spacing=arc / SPEC_VIEWS[1],
-        agent=dataclasses.replace(cfg.agent, max_steps=int(arc * 1.3)),
-    )
+    cfg, landscape, route, pts, headings = _setup(1, route_length=route_length)
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
-    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
     rng = np.random.default_rng(0)
     b = 256
     starts = pts[0][None, :] + rng.normal(0, 1.5, size=(b, 2))
@@ -231,27 +235,20 @@ def run_sector_gate() -> dict:
     on real hardware (the unit tests run this check on CPU only), and the
     closed loop through sector+fft must recall. Emitted by --all so every
     round leaves an artifact proving the roll identity holds on the chip."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
     import navdv_tpu as nav
-    from navdv_tpu import oracle
     from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
-    from navdv_tpu.config import baseline_config
     from navdv_tpu.metrics import success_rate
-    from navdv_tpu.sensor import make_render_batch, make_render_batch_rolled
-
-    cfg = baseline_config(3)  # the sector-mode BASELINE config
-    landscape, route = _world(40.0)
-    arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
-    cfg = dataclasses.replace(
-        cfg,
-        capture_spacing=arc / SPEC_VIEWS[3],
-        agent=dataclasses.replace(cfg.agent, max_steps=int(arc * 1.3)),
+    from navdv_tpu.sensor import (
+        make_render_batch,
+        make_render_batch_rolled,
+        unroll_panorama,
     )
-    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+
+    # config 3 is the sector-mode BASELINE config
+    cfg, landscape, route, pts, headings = _setup(3)
     rng = np.random.default_rng(0)
     b = 64
     starts = pts[0][None, :] + rng.normal(0, 1.5, size=(b, 2))
@@ -265,13 +262,7 @@ def run_sector_gate() -> dict:
         jnp.asarray(landscape), jnp.asarray(starts, jnp.float32),
         jnp.asarray(thetas, jnp.float32),
     )
-    pano_phi = np.asarray(pano_phi)
-    k = np.asarray(k)
-    a = pano_phi.shape[-1]
-    rolled = np.stack(
-        [pano_phi[i][:, (np.arange(a) + k[i]) % a] for i in range(b)]
-    )
-    err = float(np.max(np.abs(rolled - np.asarray(want))))
+    err = float(np.max(np.abs(unroll_panorama(pano_phi, k) - np.asarray(want))))
 
     lib = nav.train_library(jnp.asarray(landscape), route, cfg)
     st = make_statics(landscape, lib, route)
@@ -306,25 +297,32 @@ def main() -> None:
                          "200 -> ~257 px arc (dense round-1 variants)")
     ap.add_argument("--impl", default="default",
                     help="jnp|fft|roll|conv|pallas (default: fastest per config)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed episode repeats (min is reported)")
     ap.add_argument("--all", action="store_true",
-                    help="run BASELINE configs 1-4 + the Pallas parity gate "
-                         "(one JSON line each)")
+                    help="run BASELINE configs 1-4 + the Pallas and sector "
+                         "parity gates (one JSON line each)")
     args = ap.parse_args()
     if args.all:
+        if args.config != 1:
+            ap.error("--all runs configs 1-4; drop --config")
         # config 4 IS config 1's workload with the 1024-agent batch;
         # config 5 (sweep grid) runs via `python -m navdv_tpu.cli sweep`
         for cfg_n in (1, 2, 3, 4):
             print(json.dumps(run_bench(
-                cfg_n, args.batch, args.steps, args.impl,
+                cfg_n, args.batch, args.steps, args.impl, repeats=args.repeats,
                 views=args.views, route_length=args.route_length)))
         print(json.dumps(run_pallas_gate(route_length=args.route_length)))
         print(json.dumps(run_sector_gate()))
         return
     result = run_bench(args.config, args.batch, args.steps, args.impl,
-                       views=args.views, route_length=args.route_length)
+                       repeats=args.repeats, views=args.views,
+                       route_length=args.route_length)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

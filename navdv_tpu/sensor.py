@@ -432,6 +432,20 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
     return render_b
 
 
+def unroll_panorama(pano_phi, k) -> np.ndarray:
+    """Materialize the true-heading panorama from the sector renderer's
+    output: ``pano_theta[b, r, a] = pano_phi[b, r, (a + k_b) % A]``.
+
+    Host-side utility (cold path — the production pipeline absorbs the roll
+    spectrally and never materializes this); used by parity tests and the
+    bench sector gate."""
+    pano_phi = np.asarray(pano_phi)
+    k = np.asarray(k)
+    a = pano_phi.shape[-1]
+    idx = (np.arange(a)[None, :] + k[:, None]) % a  # [B, A]
+    return np.take_along_axis(pano_phi, idx[:, None, :], axis=2)
+
+
 def make_candidate_views(sensor: SensorConfig, shifts: np.ndarray):
     """Build ``views(pano f32[R, A]) -> f32[Ns, P]``: the pooled sensor view at
     every shift in ``shifts`` (fine bins), flattened to P = R*W pixels.

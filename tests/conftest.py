@@ -31,11 +31,15 @@ def pytest_configure(config):
 
 if not _NEEDS_REEXEC:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    _flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # replace (not keep) any inherited device-count flag: a stale value != 8
+    # would break every multi-device test
+    _flags = [
+        f
+        for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    _flags.append("--xla_force_host_platform_device_count=8")
+    os.environ["XLA_FLAGS"] = " ".join(_flags)
 
     import numpy as np
     import pytest

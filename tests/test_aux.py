@@ -30,9 +30,10 @@ def test_step_is_nan_free_under_debug_nans(small_cfg, small_world):
 
 def test_bench_smoke():
     """The repo-root bench harness runs end-to-end (tiny, CPU)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import run_bench
 
     res = run_bench(config_n=1, batch=8, steps=16, impl="jnp", repeats=1)

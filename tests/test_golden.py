@@ -13,7 +13,10 @@ from navdv_tpu import oracle
 from navdv_tpu.agent import STATUS_REACHED, init_state, make_navigate, make_statics
 from navdv_tpu.training import train_library
 
-GOLDEN = "tests/golden_oracle_small.npz"
+import os
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "golden_oracle_small.npz")
 
 
 @pytest.fixture(scope="module")

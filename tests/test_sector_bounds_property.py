@@ -63,10 +63,11 @@ def test_bounds_contain_all_taps(
         sub_x = xs[ring_lo : ring_lo + n_rings, si * a_s : (si + 1) * a_s]
         sub_y = ys[ring_lo : ring_lo + n_rings, si * a_s : (si + 1) * a_s]
         # both hat taps (floor, floor+1) of every sample stay in the slice
+        # [lo, lo + n): max tap index floor(x)+1 must be <= lo + n - 1
         assert np.floor(sub_x).min() >= col_lo
-        assert np.floor(sub_x).max() + 1 <= col_lo + n_cols - 1 + 1
+        assert np.floor(sub_x).max() + 1 <= col_lo + n_cols - 1
         assert np.floor(sub_y).min() >= row_lo
-        assert np.floor(sub_y).max() + 1 <= row_lo + n_rows - 1 + 1
+        assert np.floor(sub_y).max() + 1 <= row_lo + n_rows - 1
 
 
 def test_indivisible_sector_count_raises():

@@ -26,14 +26,7 @@ from navdv_tpu.sensor import (
 )
 
 
-def _roll_back(pano_phi: np.ndarray, k: np.ndarray) -> np.ndarray:
-    """pano_theta[b, r, a] = pano_phi[b, r, (a + k_b) % A]."""
-    a = pano_phi.shape[-1]
-    out = np.empty_like(pano_phi)
-    for b in range(pano_phi.shape[0]):
-        idx = (np.arange(a) + int(k[b])) % a
-        out[b] = pano_phi[b][:, idx]
-    return out
+from navdv_tpu.sensor import unroll_panorama as _roll_back
 
 
 def test_sector_bounds_cover_window(small_cfg):
