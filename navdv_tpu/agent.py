@@ -234,14 +234,25 @@ def make_step_batched(
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
     if cfg.sensor.render_mode not in ("full", "sector"):
         raise ValueError(f"unknown render_mode {cfg.sensor.render_mode!r}")
+    if cfg.scan.roll_rank > 0 and fam_impl != "roll":
+        # the knob only exists on the rolled-library path; silence here would
+        # read as "low-rank is free" on other impls (ADVICE round 2)
+        import warnings
+
+        warnings.warn(
+            f"ScanConfig.roll_rank={cfg.scan.roll_rank} has no effect with "
+            f"fam_impl={fam_impl!r}; it applies only to fam_impl='roll'",
+            stacklevel=2,
+        )
     # the sector renderer's roll absorption is spectral-domain only: non-fft
     # impls fall back to the (numerically equivalent) full-window renderer
     sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"
     render_b = None if sector else make_render_batch(cfg.sensor)
 
     if fam_impl == "conv":
-        # fastest path: the whole lag scan as one MXU convolution — no
-        # candidate tensor at all (familiarity_conv.py)
+        # the whole lag scan as one MXU convolution — extraction-free like
+        # fft/roll but non-default: the fft/roll paths beat it at every
+        # BASELINE config (familiarity_conv.py, COMPONENTS.md)
         from navdv_tpu.familiarity_conv import make_fam_conv
 
         fam_conv = make_fam_conv(cfg.sensor, cfg.scan)
@@ -278,7 +289,11 @@ def make_step_batched(
             # (exact) and the lag stats gather the k-shifted residue classes
             from navdv_tpu.sensor import make_render_batch_rolled
 
-            render_roll = make_render_batch_rolled(cfg.sensor)
+            # pad the rolled renderer for the worst post-done drift: a done
+            # agent's frozen pose can sit step_size past the r_max margin
+            render_roll = make_render_batch_rolled(
+                cfg.sensor, max_drift=max(2.0, cfg.agent.step_size)
+            )
 
             def render_front(states, st):
                 pano, k = render_roll(st.landscape, states.xy, states.theta)

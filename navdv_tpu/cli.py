@@ -79,12 +79,24 @@ def cmd_demo(args) -> None:
 
 
 def cmd_bench(args) -> None:
+    """Full arg parity with repo-root bench.py (it is the same harness), so
+    the CLI can reproduce every committed artifact — including --all's
+    per-config lines and the on-TPU parity gates."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import run_bench
+    import bench
 
-    print(json.dumps(run_bench(args.config, args.batch, args.steps, args.impl)))
+    kw = dict(batch=args.batch, steps=args.steps, impl=args.impl,
+              repeats=args.repeats, views=args.views,
+              route_length=args.route_length)
+    if args.all:
+        for cfg_n in (1, 2, 3, 4):
+            print(json.dumps(bench.run_bench(cfg_n, **kw)))
+        print(json.dumps(bench.run_pallas_gate(route_length=args.route_length)))
+        print(json.dumps(bench.run_sector_gate()))
+        return
+    print(json.dumps(bench.run_bench(args.config, **kw)))
 
 
 def _load_world(args, size):
@@ -146,11 +158,17 @@ def main(argv=None) -> None:
     d.add_argument("--out", default="out/demo")
     d.set_defaults(fn=cmd_demo)
 
-    b = sub.add_parser("bench", help="throughput harness")
+    b = sub.add_parser("bench", help="throughput harness (same as bench.py)")
     b.add_argument("--config", type=int, default=1)
     b.add_argument("--batch", type=int, default=None)
     b.add_argument("--steps", type=int, default=None)
     b.add_argument("--impl", default="default")
+    b.add_argument("--views", type=int, default=None,
+                   help="stored-view count (default: BASELINE spec)")
+    b.add_argument("--route-length", type=float, default=40.0)
+    b.add_argument("--repeats", type=int, default=3)
+    b.add_argument("--all", action="store_true",
+                   help="configs 1-4 + the Pallas and sector parity gates")
     b.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("sweep", help="BASELINE config-5 grid with resume")

@@ -37,7 +37,9 @@ class SensorConfig:
     # (exact identity pano_theta[a] = pano_phi[a+k], SEMANTICS.md §3 note) so
     # sample offsets are nearly static and the azimuth circle splits into
     # static sectors whose hat support is ~11x11 instead of wsz x wsz (4.6x
-    # fewer render FLOPs at 8 sectors). Bit-identical sampling math; the k
+    # fewer render FLOPs at 8 sectors). Identical sample points up to fp
+    # rounding of the rotation (parity: atol ~2e-4 f32 / 2e-2 bf16 — see
+    # sensor.py and SEMANTICS.md §3); the k
     # roll is absorbed as a spectral phase rotation, so "sector" takes
     # effect only with fam_impl="fft" — other impls fall back to the
     # (numerically equivalent) full renderer. Unknown values raise in

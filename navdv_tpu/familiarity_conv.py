@@ -1,4 +1,6 @@
-"""Convolutional familiarity path (the fastest TPU formulation).
+"""Convolutional familiarity path (non-default: an earlier round's fastest
+formulation, since beaten by the spectral/rolled paths at every BASELINE
+config — kept as an engineering record and cross-check; see COMPONENTS.md).
 
 The per-lag cross term sum_{r,w} S[r, w*u + s] * lib[v, r, w] over ALL scan
 lags s is exactly a 1D valid convolution over azimuth: split the prefix-pooled
@@ -7,7 +9,8 @@ shift-extend over the q = s // u range, and one ``lax.conv_general_dilated``
 ([B*u, R, width] x [Nl, R, W]) computes every (j, q) lag on the MXU — no
 [B, L, P] candidate tensor, no layout copies, no separate norm pass (row norms
 and means are the same conv with a ones filter). Profiled ~3x faster than the
-extract-then-matmul path at BASELINE config 1.
+round-1 extract-then-matmul path at BASELINE config 1, but slower than the
+extraction-free fft/roll matmul paths that replaced both.
 
 Numerics match familiarity.distance_matrix to fp32 tolerance
 (tests/test_conv_fam.py).

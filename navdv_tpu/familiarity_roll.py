@@ -141,6 +141,13 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     builds the pre-rolled library once per episode."""
     if scan.metric not in ("ssd", "ncc"):
         raise ValueError(f"unknown familiarity metric {scan.metric!r}")
+    if scan.roll_rank > 0 and scan.metric != "ssd":
+        # the low-rank split is an SSD cross-term identity; silently ignoring
+        # the knob on NCC would read as "low-rank is free" (ADVICE round 2)
+        raise ValueError(
+            f"ScanConfig.roll_rank={scan.roll_rank} requires metric='ssd' "
+            f"(got {scan.metric!r})"
+        )
     r, w, u = sensor.n_radial, sensor.n_azimuth, sensor.az_upsample
     p = float(sensor.n_pixels)
     prec = matmul_precision(scan.matmul_precision)

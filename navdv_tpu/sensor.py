@@ -309,7 +309,9 @@ def sector_bounds(
     return out
 
 
-def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
+def make_render_batch_rolled(
+    sensor: SensorConfig, window_impl: str = "auto", max_drift: float = 2.0
+):
     """Sector renderer: ``(landscape, xy f32[B,2], theta f32[B]) ->
     (pano_phi f32[B, R, A], k i32[B])`` with the exact roll identity
 
@@ -336,10 +338,12 @@ def make_render_batch_rolled(sensor: SensorConfig, window_impl: str = "auto"):
     half = wx_sz // 2
     # replicate-pad the landscape so the window never clips against the
     # edge: in-window fractional position is then always frac(xy) + half,
-    # which the static sector bounds assume. PAD covers the footprint
-    # overhang (half) minus the off-landscape stop margin (r_max) plus one
-    # step of post-done drift and bilinear slack.
-    pad = max(0, half - int(np.floor(sensor.r_max)) + 2)
+    # which the static sector bounds assume. Active agents render at least
+    # r_max from the edge (the off-landscape stop), and a done agent's frozen
+    # pose is at most ONE kinematics step past that margin, so PAD covers the
+    # footprint overhang (half) minus the guaranteed margin (r_max - drift);
+    # agent.make_step_batched passes max_drift >= step_size.
+    pad = max(0, half - int(np.floor(sensor.r_max - max_drift)))
     pieces = []
     for i, (ring_lo, n_rings, row_lo, n_rows, col_lo, n_cols) in enumerate(bounds):
         cols = slice((i % n_sectors) * a_s, (i % n_sectors + 1) * a_s)

@@ -94,15 +94,26 @@ class NavigationSimulator:
         start_anywhere: bool = False,
     ) -> NavigationResult:
         """Run batched recall episodes from randomized (or given) starts;
-        ``start_anywhere`` samples starts uniformly along the route."""
+        ``start_anywhere`` samples starts uniformly along the route. When
+        ``starts`` is given without ``headings``, each agent faces the route
+        tangent at its nearest captured route point."""
         if self.library is None:
             raise RuntimeError("call train() or load_library() first")
         if starts is None:
+            if headings is not None:
+                raise ValueError("headings given without starts")
             starts, headings = make_trials(
                 self.route, self.cfg, n_trials, seed=seed,
                 pos_sigma=pos_sigma, heading_sigma=heading_sigma,
                 start_anywhere=start_anywhere,
             )
+        elif headings is None:
+            starts = np.atleast_2d(np.asarray(starts, np.float64))
+            pts, hd = resample_route(self.route, self.cfg.capture_spacing)
+            nearest = np.argmin(
+                ((starts[:, None, :] - pts[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            headings = hd[nearest]
         final, rec = jax.block_until_ready(
             self._navigate(init_state(starts, headings), self._statics)
         )

@@ -51,3 +51,29 @@ def test_jax_path_matches_golden_statistics(small_cfg, small_world, golden):
     n_gold = len(golden["xy"])
     n_jax = int((~np.asarray(rec.done)).sum())
     assert abs(n_jax - n_gold) <= 5
+
+
+def test_jax_path_matches_golden_first_steps(small_cfg, small_world, golden):
+    """Per-step familiarity/pose parity against the FROZEN fixture at the
+    first K steps — before fp32-vs-f64 argmin flips can compound — so subtle
+    renderer or familiarity drift trips here even while the statistics-level
+    checks above still pass (VERDICT round 2, weak item 6)."""
+    import jax.numpy as jnp
+
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, hd = oracle.resample_route(route, small_cfg.capture_spacing)
+    _, rec = make_navigate(small_cfg)(init_state(pts[0], hd[0]), st)
+    k = 6
+    # same chosen candidate at every early step (decision-level parity) ...
+    np.testing.assert_array_equal(np.asarray(rec.k)[:k], golden["k"][:k])
+    # ... hence poses agree to fp32 kinematics rounding ...
+    np.testing.assert_allclose(
+        np.asarray(rec.xy)[:k], golden["xy"][:k], atol=1e-4
+    )
+    # ... and the selected familiarity matches the f64 oracle to the fp32
+    # cancellation scale of the SSD norms (|view|^2 ~ 20 in the small world)
+    np.testing.assert_allclose(
+        np.asarray(rec.fam)[:k], golden["fam"][:k], atol=5e-4, rtol=1e-3
+    )

@@ -133,3 +133,33 @@ def test_roll_lowrank_respects_padding():
     np.testing.assert_allclose(
         np.asarray(m_pad), np.asarray(m_valid), rtol=4e-3, atol=4e-3
     )
+
+
+def test_roll_rank_rejects_ncc(small_cfg):
+    """roll_rank is an SSD cross-term identity; enabling it on NCC raises
+    instead of silently doing nothing (ADVICE round 2)."""
+    import dataclasses
+
+    import pytest
+
+    from navdv_tpu.familiarity_roll import make_lib_min_roll
+    from navdv_tpu.sensor import scan_lag_sets
+
+    scan = dataclasses.replace(small_cfg.scan, metric="ncc", roll_rank=8)
+    lags, _ = scan_lag_sets(scan)
+    with pytest.raises(ValueError, match="roll_rank"):
+        make_lib_min_roll(small_cfg.sensor, scan, lags)
+
+
+def test_roll_rank_other_impl_warns(small_cfg):
+    import dataclasses
+
+    import pytest
+
+    from navdv_tpu.agent import make_step_batched
+
+    cfg = dataclasses.replace(
+        small_cfg, scan=dataclasses.replace(small_cfg.scan, roll_rank=8)
+    )
+    with pytest.warns(UserWarning, match="roll_rank"):
+        make_step_batched(cfg, fam_impl="jnp")
