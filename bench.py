@@ -40,17 +40,18 @@ SPEC_VIEWS = {1: 50, 2: 500, 3: 50, 4: 50}
 SPEC_BATCH = {1: 2048, 2: 512, 3: 512, 4: 1024}
 
 
-def _world(route_length: float):
+def _world(route_length: float, size: int = 512, kind: str = "blobs",
+           n_features: int = 150):
     import jax.numpy as jnp
 
     import navdv_tpu as nav
 
     landscape = jnp.asarray(
-        nav.make_landscape("blobs", size=(512, 512), seed=7, n_features=150)
+        nav.make_landscape(kind, size=(size, size), seed=7, n_features=n_features)
     )
     route = nav.make_route(
         "sine",
-        size=(512, 512),
+        size=(size, size),
         margin=60.0,
         length=route_length,
         amplitude=route_length / 8.0,
@@ -59,7 +60,8 @@ def _world(route_length: float):
 
 
 def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
-           steps: int | None = None):
+           steps: int | None = None, size: int = 512, land_kind: str = "blobs",
+           n_features: int = 150):
     """Shared world + config construction for every bench entry point:
     spec-exact stored-view count and a step budget covering the route arc.
     Returns (cfg, landscape, route, pts, headings)."""
@@ -71,7 +73,8 @@ def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
     if views is None:
         views = SPEC_VIEWS.get(config_n, 50)
     cfg = baseline_config(config_n)
-    landscape, route = _world(route_length)
+    landscape, route = _world(route_length, size=size, kind=land_kind,
+                              n_features=n_features)
     arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
     if steps is None:
         # success gate needs the budget to cover the route: arc length + 30%
@@ -88,9 +91,54 @@ def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
     return cfg, landscape, route, pts, headings
 
 
+def _timed_windows(nav_fn, states0, st, repeats: int, min_window_s: float):
+    """Timed measurement discipline (VERDICT round 2, weak item 1): chain
+    episodes until every timed window covers >= ``min_window_s`` of device
+    work. Single-episode windows (~0.13 s at the fast configs) sit inside the
+    tunnel's ±3% variance AND pay one ~30 ms host-pull RTT per episode;
+    chaining amortizes both. Each chained episode's inputs carry a
+    zero-valued data dependency on the previous episode's outputs, so
+    dispatches cannot overlap or reorder — one host pull at the end of the
+    chain then syncs the whole window. Returns (success_rate, per-episode
+    times over ``repeats`` windows, chain length)."""
+    import time
+
+    from navdv_tpu.agent import AgentState
+    from navdv_tpu.metrics import success_rate
+
+    # warmup + compile; the host pull of the scalar rate is the real sync
+    final, _ = nav_fn(states0, st)
+    rate = float(success_rate(final))
+
+    def _chained(s_prev):
+        return AgentState(
+            xy=states0.xy + 0.0 * s_prev.xy,
+            theta=states0.theta + 0.0 * s_prev.theta,
+            done=states0.done,
+            status=states0.status,
+        )
+
+    t0 = time.perf_counter()
+    final, _ = nav_fn(states0, st)
+    float(success_rate(final))
+    t_one = time.perf_counter() - t0
+    chain = max(1, int(np.ceil(min_window_s / t_one)))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        s = states0
+        for _ in range(chain):
+            final, _ = nav_fn(s, st)
+            s = _chained(final)
+        float(success_rate(final))  # host pull awaits the whole chain
+        times.append((time.perf_counter() - t0) / chain)
+    return rate, times, chain
+
+
 def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = None,
               impl: str = "default", repeats: int = 3, views: int | None = None,
-              route_length: float = 40.0) -> dict:
+              route_length: float = 40.0, min_window_s: float = 0.5) -> dict:
     import jax
 
     import navdv_tpu as nav
@@ -115,16 +163,7 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
     states0 = init_state(starts, thetas)
 
     nav_fn = make_navigate_batch(cfg, fam_impl=impl)
-    # warmup + compile; the host pull of the scalar rate is the real sync
-    final, rec = nav_fn(states0, st)
-    rate = float(success_rate(final))
-
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        final, rec = nav_fn(states0, st)
-        float(success_rate(final))  # host pull awaits the whole episode
-        times.append(time.perf_counter() - t0)
+    rate, times, chain = _timed_windows(nav_fn, states0, st, repeats, min_window_s)
     dt = min(times)
     agent_steps = batch * cfg.agent.max_steps
     return {
@@ -132,6 +171,7 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         "value": round(agent_steps / dt, 1),
         "unit": "steps/s",
         "vs_baseline": round(agent_steps / dt / 1e5, 3),
+        "median": round(agent_steps / float(np.median(times)), 1),
         "config": config_n,
         "batch": batch,
         "max_steps": cfg.agent.max_steps,
@@ -139,16 +179,73 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         "success_rate": round(rate, 4),
         "impl": impl,
         "device": str(jax.devices()[0].platform),
-        "wall_s": round(dt, 4),
+        "wall_s": round(dt * chain, 4),
+        "chain": chain,
     }
 
 
-def run_pallas_gate(route_length: float = 40.0) -> dict:
+def run_big_landscape(size: int = 4096, land_kind: str = "fractal",
+                      batch: int = 1024, repeats: int = 3,
+                      min_window_s: float = 0.5) -> dict:
+    """Scale-envelope run (VERDICT round 2, item 6): a >=4096^2 landscape has
+    >2M cells, past the window kernel's VMEM residency budget, so the renderer
+    takes the per-agent DMA band source (ops/window_pallas.py) — the path
+    built precisely for landscapes that cannot live in VMEM. Reports
+    throughput + recall at the BASELINE config-1 workload on that landscape."""
+    import jax
+
+    import navdv_tpu as nav
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.config import baseline_fam_impl
+    from navdv_tpu.ops.window_pallas import VMEM_LAND_MAX_ELEMS
+
+    cfg, landscape, route, pts, headings = _setup(
+        1, size=size, land_kind=land_kind
+    )
+    cells = int(landscape.shape[0]) * int(landscape.shape[1])
+    assert cells > VMEM_LAND_MAX_ELEMS, (
+        f"{cells} cells fits VMEM; this gate needs the DMA band source"
+    )
+    lib = nav.train_library(landscape, route, cfg)
+    st = make_statics(landscape, lib, route)
+    rng = np.random.default_rng(0)
+    starts = pts[0][None, :] + rng.normal(0, 1.5, size=(batch, 2))
+    thetas = headings[0] + rng.normal(0, 0.15, size=(batch,))
+    states0 = init_state(starts, thetas)
+
+    impl = baseline_fam_impl(1)
+    nav_fn = make_navigate_batch(cfg, fam_impl=impl)
+    rate, times, chain = _timed_windows(nav_fn, states0, st, repeats, min_window_s)
+    dt = min(times)
+    agent_steps = batch * cfg.agent.max_steps
+    return {
+        "metric": "big_landscape_dma",
+        "value": round(agent_steps / dt, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(agent_steps / dt / 1e5, 3),
+        "landscape": f"{land_kind}-{size}x{size}",
+        "landscape_cells": cells,
+        "band_source": "dma",
+        "config": 1,
+        "batch": batch,
+        "max_steps": cfg.agent.max_steps,
+        "library_views": int(lib.views.shape[0]),
+        "success_rate": round(rate, 4),
+        "impl": impl,
+        "device": str(jax.devices()[0].platform),
+        "wall_s": round(dt * chain, 4),
+        "chain": chain,
+    }
+
+
+def run_pallas_gate(route_length: float = 40.0, config_n: int = 1,
+                    batch: int = 256, n_sample: int = 32) -> dict:
     """On-TPU parity gate for the Pallas batched min-distance kernel
     (BASELINE.json:5): per-lag library minima from the kernel vs the jnp
     matmul path on real rendered panoramas, plus closed-loop recall through
-    the kernel. Emitted by --all so every round leaves an artifact proving the
-    kernel works on hardware (VERDICT round 1, item 5)."""
+    the kernel. Emitted by --all at config 1 (SSD) AND config 3 (NCC — the
+    kernel's other metric branch, VERDICT round 2 item 5) so every round
+    leaves an artifact proving both branches work on hardware."""
     import jax
     import jax.numpy as jnp
 
@@ -159,6 +256,7 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
         make_navigate_batch,
         make_statics,
     )
+    from navdv_tpu.familiarity import NCC_EPS
     from navdv_tpu.metrics import success_rate
     from navdv_tpu.sensor import (
         make_lag_stats,
@@ -168,11 +266,11 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
         scan_lag_sets,
     )
 
-    cfg, landscape, route, pts, headings = _setup(1, route_length=route_length)
+    cfg, landscape, route, pts, headings = _setup(config_n, route_length=route_length)
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
     rng = np.random.default_rng(0)
-    b = 256
+    b = batch
     starts = pts[0][None, :] + rng.normal(0, 1.5, size=(b, 2))
     thetas = headings[0] + rng.normal(0, 0.15, size=(b,))
     states0 = init_state(starts, thetas)
@@ -195,35 +293,49 @@ def run_pallas_gate(route_length: float = 40.0) -> dict:
 
     m_jnp, m_pal = both(states0, st)
 
-    # accuracy vs a float64 NumPy oracle on a sample of agents: on-route SSD
-    # minima sit near 0 (fp cancellation of the |c|^2+|l|^2-2c.l
-    # decomposition), so errors must be judged in absolute terms against f64
-    # truth, scaled by the norms the cancellation eats — not against max(M)
-    n_sample = 32
-    s = pooled(render_b(st.landscape, states0.xy, states0.theta))
-    cand64 = np.asarray(views(s))[:n_sample].astype(np.float64)
-    lib64 = np.asarray(st.lib.flat).astype(np.float64)
-    d64 = (
-        (cand64[:, :, None, :] - lib64[None, None, :, :]) ** 2
-    ).sum(-1).min(-1)  # [n_sample, L]
+    # accuracy vs a float64 NumPy oracle on a sample of agents
+    s = pooled(render_b(st.landscape, states0.xy[:n_sample], states0.theta[:n_sample]))
+    cand64 = np.asarray(views(s)).astype(np.float64)
+    if cfg.scan.metric == "ssd":
+        # on-route SSD minima sit near 0 (fp cancellation of the
+        # |c|^2+|l|^2-2c.l decomposition), so errors are judged in absolute
+        # terms against f64 truth, scaled by the norms the cancellation eats
+        lib64 = np.asarray(st.lib.flat).astype(np.float64)
+        d64 = (
+            (cand64[:, :, None, :] - lib64[None, None, :, :]) ** 2
+        ).sum(-1).min(-1)  # [n_sample, L]
+        scale = float(np.mean(np.asarray(st.lib.sq)))
+        tol = 1e-4 * scale
+    else:
+        # NCC: d = 1 - <z_c, z_l>/P on z-scored views; distances are O(1)
+        # with no catastrophic cancellation, so the floor is plain fp32
+        # rounding of a P-long dot (~sqrt(P)*eps)
+        p = cand64.shape[-1]
+        mu = cand64.mean(-1, keepdims=True)
+        var = ((cand64 - mu) ** 2).mean(-1, keepdims=True)
+        z64 = (cand64 - mu) / np.sqrt(var + NCC_EPS)
+        zl64 = np.asarray(st.lib.z).astype(np.float64)
+        d64 = (1.0 - (z64 @ zl64.T) / p).min(-1)  # [n_sample, L]
+        scale = 1.0
+        tol = 5e-4
     err_pal = float(np.max(np.abs(np.asarray(m_pal)[:n_sample] - d64)))
     err_jnp = float(np.max(np.abs(np.asarray(m_jnp)[:n_sample] - d64)))
-    norm_scale = float(np.mean(np.asarray(st.lib.sq)))
 
     # closed loop through the kernel
     final, _ = make_navigate_batch(cfg, fam_impl="pallas")(states0, st)
     rate = float(success_rate(final))
     # gate: kernel at least as accurate as the production jnp path (2x slack)
-    # and well under the fp32 cancellation scale of the norms; and it recalls
-    ok = rate >= 0.9 and err_pal <= max(2.0 * err_jnp, 1e-4 * norm_scale)
+    # and under the metric's fp32 floor; and it recalls
+    ok = rate >= 0.9 and err_pal <= max(2.0 * err_jnp, tol)
     return {
         "metric": "pallas_parity_gate",
-        "config": 1,
+        "config": config_n,
+        "distance_metric": cfg.scan.metric,
         "batch": b,
         "success_rate": round(rate, 4),
         "fam_abs_err_vs_f64": round(err_pal, 8),
         "jnp_abs_err_vs_f64": round(err_jnp, 8),
-        "norm_scale": round(norm_scale, 2),
+        "norm_scale": round(scale, 2),
         "ok": bool(ok),
         "device": str(jax.devices()[0].platform),
     }
@@ -302,7 +414,17 @@ def main() -> None:
     ap.add_argument("--all", action="store_true",
                     help="run BASELINE configs 1-4 + the Pallas and sector "
                          "parity gates (one JSON line each)")
+    ap.add_argument("--big-landscape", type=int, default=0, metavar="SIZE",
+                    help="scale-envelope run on a SIZE^2 landscape (>2M cells "
+                         "-> DMA band source), e.g. 4096")
+    ap.add_argument("--big-kind", default="fractal",
+                    help="landscape kind for --big-landscape")
     args = ap.parse_args()
+    if args.big_landscape:
+        print(json.dumps(run_big_landscape(
+            size=args.big_landscape, land_kind=args.big_kind,
+            repeats=args.repeats)))
+        return
     if args.all:
         if args.config != 1:
             ap.error("--all runs configs 1-4; drop --config")
@@ -313,6 +435,10 @@ def main() -> None:
                 cfg_n, args.batch, args.steps, args.impl, repeats=args.repeats,
                 views=args.views, route_length=args.route_length)))
         print(json.dumps(run_pallas_gate(route_length=args.route_length)))
+        # NCC branch of the kernel at the config-3 sensor (23k px views:
+        # small batch keeps the [B, L, P] candidate tensor in budget)
+        print(json.dumps(run_pallas_gate(
+            route_length=args.route_length, config_n=3, batch=32, n_sample=8)))
         print(json.dumps(run_sector_gate()))
         return
     result = run_bench(args.config, args.batch, args.steps, args.impl,

@@ -94,6 +94,8 @@ def cmd_bench(args) -> None:
         for cfg_n in (1, 2, 3, 4):
             print(json.dumps(bench.run_bench(cfg_n, **kw)))
         print(json.dumps(bench.run_pallas_gate(route_length=args.route_length)))
+        print(json.dumps(bench.run_pallas_gate(
+            route_length=args.route_length, config_n=3, batch=32, n_sample=8)))
         print(json.dumps(bench.run_sector_gate()))
         return
     print(json.dumps(bench.run_bench(args.config, **kw)))

@@ -90,6 +90,18 @@ class ScanConfig:
     # but recall 0.99 -> 0.81 / 1.00 -> 0.60 — the same flat-valley
     # precision wall as roll_rank; only for workloads with recall slack.
     fft_product_precision: str = "inherit"
+    # fam_impl="roll" + metric="ssd" only: exact fixed-point familiarity.
+    # 8 = quantize candidate planes and the pre-rolled library to the
+    # 1/255 grid (views live in [0, 1]) and compute ALL THREE SSD terms in
+    # integer arithmetic — the cross term as one int8 x int8 -> int32 MXU
+    # matmul (native on v5e, ~6x the bf16x3 pass throughput). The result is
+    # the EXACT SSD between the quantized images: a consistent metric with
+    # zero decorrelated per-lag noise — the failure mode of every measured
+    # approximate reformulation (fft/centered-bf16/low-rank; STATUS.md
+    # speed-of-light section). What changes is the metric itself (8-bit
+    # sensor quantization, ~4e-3 per pixel); the bench recall gate is the
+    # arbiter. 0 = off (f32/bf16x3 path).
+    fixed_point_bits: int = 0
     # fam_impl="roll" + metric="ssd" only: rank of the exact low-rank split
     # of the cross term, c.l = c.m + (c.U)y_v + c.r_v with r_v the library's
     # residual off its top-k basis. The k-wide pieces run at HIGH; only the

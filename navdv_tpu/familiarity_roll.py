@@ -29,6 +29,7 @@ traffic (283 MB/step at config 2).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -133,6 +134,60 @@ def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid,
     return lib_min
 
 
+def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
+    """Exact fixed-point SSD (ScanConfig.fixed_point_bits=8).
+
+    Candidate planes and the pre-rolled library are quantized to the 1/255
+    grid (views live in [0, 1]) as CENTERED int8, q = round(255 v) - 128 —
+    the common -128 shift cancels in every difference, so
+
+        d[l, v] = sum_p (qc_p - ql_p)^2 / 255^2
+
+    is the EXACT SSD between the 1/255-quantized images. All three SSD terms
+    run in integer arithmetic: the cross term is one int8 x int8 -> int32 MXU
+    matmul (native on v5e), and the squared norms are int32 reductions of the
+    same quantized tensors (max |q|^2 P ~ 1.9e7 << 2^31: no overflow). The
+    result is a consistent metric with ZERO decorrelated per-lag noise — the
+    measured failure mode of every approximate reformulation of this cross
+    term (STATUS.md speed-of-light section); what changes is the metric
+    itself (8-bit sensor quantization), which the recall gate arbitrates.
+    """
+    inv_s2 = 1.0 / (255.0 * 255.0)
+    int_penalty = jnp.int32(1 << 28)  # >> max possible quantized SSD (1.9e7)
+
+    def _quant(x: jnp.ndarray) -> jnp.ndarray:
+        return (
+            jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32) - 128
+        ).astype(jnp.int8)
+
+    def prepare(lib: LibraryPack):
+        qz = _quant(_prepare_rows(lib.flat))  # [P, nq*Nl] int8
+        qz_sq = jnp.sum(
+            qz.astype(jnp.int32) * qz.astype(jnp.int32), axis=0
+        )  # [nq*Nl]
+        pen = int_penalty * (1 - lib.valid.astype(jnp.int32))  # [Nl]
+        col_add = qz_sq + jnp.tile(pen, nq)  # columns are (q-major, v)
+        return qz, col_add
+
+    def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
+        qz, col_add = prepare(lib) if aux is None else aux
+        b = s.shape[0]
+        nl = lib.valid.shape[0]
+        qt = _quant(_t_planes(s))  # [B*u, P] int8
+        qti = qt.astype(jnp.int32)
+        qc_sq = jnp.sum(qti * qti, axis=1)  # [B*u]
+        cross = jax.lax.dot(
+            qt, qz, preferred_element_type=jnp.int32
+        )  # [B*u, nq*Nl] int32, exact
+        d = qc_sq[:, None] + col_add[None, :] - 2 * cross  # exact >= 0
+        m_grid = jnp.min(d.reshape(b, u, nq, nl), axis=3)  # [B, u, nq] int32
+        m = m_grid.reshape(b, u * nq)[:, grid_rows_dev]  # [B, L]
+        return m.astype(jnp.float32) * inv_s2
+
+    lib_min.prepare = prepare
+    return lib_min
+
+
 def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     """Per-lag library minimum via the rolled-library matmul:
     ``lib_min(S f32[B, R, A], lib, lag_sum f32[B, L], lag_sq f32[B, L],
@@ -191,6 +246,16 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         return per_lag[:, inv_rows_dev].reshape(-1, u, nq)
 
     if scan.metric == "ssd":
+        if scan.fixed_point_bits:
+            if scan.fixed_point_bits != 8:
+                raise ValueError(
+                    f"fixed_point_bits must be 0 or 8, got {scan.fixed_point_bits}"
+                )
+            if scan.roll_rank > 0:
+                raise ValueError("fixed_point_bits and roll_rank are exclusive")
+            return _make_ssd_fixed_point(
+                _prepare_rows, _t_planes, grid_rows_dev, u, nq
+            )
         if scan.roll_rank > 0:
             return _make_ssd_lowrank(
                 scan.roll_rank, _prepare_rows, _t_planes, _to_grid,

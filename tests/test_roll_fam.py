@@ -163,3 +163,63 @@ def test_roll_rank_other_impl_warns(small_cfg):
     )
     with pytest.warns(UserWarning, match="roll_rank"):
         make_step_batched(cfg, fam_impl="jnp")
+
+
+def test_fixed_point_exact_quantized_ssd():
+    """fixed_point_bits=8 returns EXACTLY the f64 SSD of the 1/255-quantized
+    candidate/library images — an exact metric, not an approximation."""
+    cfg = _cfg("ssd", 3)
+    scan = dataclasses.replace(cfg.scan, fixed_point_bits=8)
+    lags, _ = scan_lag_sets(scan)
+    rng = np.random.default_rng(1)
+    b, nl = 4, 6
+    r, a = cfg.sensor.n_radial, cfg.sensor.n_fine
+    w, u = cfg.sensor.n_azimuth, cfg.sensor.az_upsample
+    s = jnp.asarray(rng.random((b, r, a)), jnp.float32)
+    views = jnp.asarray(rng.random((nl, r, w)), jnp.float32)
+    lib = pack_library(views)
+
+    lag_stats = make_lag_stats(cfg.sensor, lags)
+    lag_sum, lag_sq = lag_stats(s)
+    m = np.asarray(make_lib_min_roll(cfg.sensor, scan, lags)(s, lib, lag_sum, lag_sq))
+
+    # f64 oracle: quantize, then plain SSD over the extracted candidates
+    cand = np.asarray(make_views_from_pooled(cfg.sensor, lags)(s)).astype(np.float64)
+    qc = np.round(cand * 255.0).clip(0, 255)
+    ql = np.round(np.asarray(lib.flat).astype(np.float64) * 255.0).clip(0, 255)
+    d64 = ((qc[:, :, None, :] - ql[None, None, :, :]) ** 2).sum(-1).min(-1) / 255.0**2
+    # the int32 distance is exact; only the final f32 * (1/255^2) scaling
+    # rounds (one ulp), so parity is one-f32-rounding tight, not f64-tight
+    np.testing.assert_allclose(m, d64, rtol=2e-7, atol=0)
+
+
+def test_fixed_point_closed_loop(small_cfg, small_world):
+    """8-bit-quantized familiarity still recalls the small parity route."""
+    import jax
+
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    landscape, route = small_world
+    cfg = dataclasses.replace(
+        small_cfg, scan=dataclasses.replace(small_cfg.scan, fixed_point_bits=8)
+    )
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, hd = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    starts = pts[0][None] + rng.normal(0, 0.5, (8, 2))
+    thetas = hd[0] + rng.normal(0, 0.05, (8,))
+    final, _ = jax.block_until_ready(
+        make_navigate_batch(cfg, fam_impl="roll")(init_state(starts, thetas), st)
+    )
+    assert float(success_rate(final)) >= 0.75
+
+
+def test_fixed_point_rejects_bad_bits():
+    cfg = _cfg("ssd", 3)
+    scan = dataclasses.replace(cfg.scan, fixed_point_bits=16)
+    lags, _ = scan_lag_sets(scan)
+    with pytest.raises(ValueError, match="fixed_point_bits"):
+        make_lib_min_roll(cfg.sensor, scan, lags)
