@@ -41,13 +41,14 @@ SPEC_BATCH = {1: 2048, 2: 512, 3: 512, 4: 1024}
 
 
 def _world(route_length: float, size: int = 512, kind: str = "blobs",
-           n_features: int = 150):
+           n_features: int = 150, feature_scale: float | None = None):
     import jax.numpy as jnp
 
     import navdv_tpu as nav
 
     landscape = jnp.asarray(
-        nav.make_landscape(kind, size=(size, size), seed=7, n_features=n_features)
+        nav.make_landscape(kind, size=(size, size), seed=7,
+                           n_features=n_features, feature_scale=feature_scale)
     )
     route = nav.make_route(
         "sine",
@@ -61,7 +62,7 @@ def _world(route_length: float, size: int = 512, kind: str = "blobs",
 
 def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
            steps: int | None = None, size: int = 512, land_kind: str = "blobs",
-           n_features: int = 150):
+           n_features: int = 150, feature_scale: float | None = None):
     """Shared world + config construction for every bench entry point:
     spec-exact stored-view count and a step budget covering the route arc.
     Returns (cfg, landscape, route, pts, headings)."""
@@ -74,7 +75,7 @@ def _setup(config_n: int, views: int | None = None, route_length: float = 40.0,
         views = SPEC_VIEWS.get(config_n, 50)
     cfg = baseline_config(config_n)
     landscape, route = _world(route_length, size=size, kind=land_kind,
-                              n_features=n_features)
+                              n_features=n_features, feature_scale=feature_scale)
     arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
     if steps is None:
         # success gate needs the budget to cover the route: arc length + 30%
@@ -199,8 +200,14 @@ def run_big_landscape(size: int = 4096, land_kind: str = "fractal",
     from navdv_tpu.config import baseline_fam_impl
     from navdv_tpu.ops.window_pallas import VMEM_LAND_MAX_ELEMS
 
+    # keep feature DENSITY and SIZE constant as the landscape grows (150
+    # 512-scaled blobs per 512^2 tile): a fixed count leaves the route
+    # region featureless at 4096^2 (measured recall 0.0 — a world statistics
+    # effect, not a renderer one)
+    n_features = max(150, int(150 * (size / 512) ** 2))
     cfg, landscape, route, pts, headings = _setup(
-        1, size=size, land_kind=land_kind
+        1, size=size, land_kind=land_kind, n_features=n_features,
+        feature_scale=512.0 if land_kind == "blobs" else None,
     )
     cells = int(landscape.shape[0]) * int(landscape.shape[1])
     assert cells > VMEM_LAND_MAX_ELEMS, (

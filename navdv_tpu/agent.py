@@ -287,13 +287,62 @@ def make_step_batched(
             # sector renderer: pano comes back in the phi frame plus its
             # integer-bin roll k; the spectral path rotates the spectra by k
             # (exact) and the lag stats gather the k-shifted residue classes
+            from navdv_tpu.familiarity import matmul_precision
             from navdv_tpu.sensor import make_render_batch_rolled
 
-            # pad the rolled renderer for the worst post-done drift: a done
-            # agent's frozen pose can sit step_size past the r_max margin
-            render_roll = make_render_batch_rolled(
-                cfg.sensor, max_drift=max(2.0, cfg.agent.step_size)
+            drift = max(2.0, cfg.agent.step_size)
+            # u == 1 (e.g. BASELINE config 3): pooled == pano and every
+            # candidate tiles the full circle, so the forward DFT can be
+            # contracted per sector INSIDE the renderer — the [B, R, A]
+            # panorama is never materialized and the lag stats reduce from
+            # the same partials (fused front-end; sensor.py `contract`).
+            # Opt-in via ScanConfig.fused_dft_precision (see config.py for
+            # the measured win/loss conditions).
+            fused = (
+                cfg.scan.fused_dft_precision != "off"
+                and cfg.sensor.az_upsample == 1
+                and hasattr(lib_min_fft, "spectral")
             )
+            if fused:
+                render_fused = make_render_batch_rolled(
+                    cfg.sensor,
+                    max_drift=drift,
+                    contract=lib_min_fft.forward_mats,
+                    contract_precision=matmul_precision(
+                        cfg.scan.fused_dft_precision
+                        if cfg.scan.fused_dft_precision != "inherit"
+                        else cfg.scan.matmul_precision
+                    ),
+                )
+                a_fine = cfg.sensor.n_fine
+                f_bins = a_fine // 2 + 1
+                n_lags = len(lags)
+
+                def step(states: AgentState, st: EpisodeStatics, aux=None):
+                    spec, k, rowsum, rowsq = render_fused(
+                        st.landscape, states.xy, states.theta
+                    )
+                    sre = spec[..., :f_bins]
+                    sim = spec[..., f_bins:]
+                    mu = rowsum * (1.0 / a_fine)
+                    # u == 1: every candidate is a full-circle roll, so the
+                    # per-lag stats are lag-independent totals (roll-invariant)
+                    tot = jnp.sum(rowsum, axis=1)
+                    totq = jnp.sum(rowsq, axis=1)
+                    lag_sum = jnp.broadcast_to(tot[:, None], (tot.shape[0], n_lags))
+                    lag_sq = jnp.broadcast_to(totq[:, None], (totq.shape[0], n_lags))
+                    m = lib_min_fft.spectral(
+                        (sre, sim, mu), st.lib, lag_sum, lag_sq, aux=aux, roll_k=k
+                    )
+                    if lib_axis is not None:
+                        m = jax.lax.pmin(m, lib_axis)
+                    fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
+                    return decide(states, fam, st)
+
+                step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
+                return step
+
+            render_roll = make_render_batch_rolled(cfg.sensor, max_drift=drift)
 
             def render_front(states, st):
                 pano, k = render_roll(st.landscape, states.xy, states.theta)

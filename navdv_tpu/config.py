@@ -90,6 +90,19 @@ class ScanConfig:
     # but recall 0.99 -> 0.81 / 1.00 -> 0.60 — the same flat-valley
     # precision wall as roll_rank; only for workloads with recall slack.
     fft_product_precision: str = "inherit"
+    # fused sector front-end (render_mode="sector", u=1, fam_impl="fft"
+    # only): contract the forward DFT per sector INSIDE the renderer — the
+    # [B, R, A] panorama is never materialized and the lag stats reduce from
+    # the same partials. Values: "off" (default: unfused sector path) or a
+    # precision for the per-sector contraction ("inherit" = matmul_precision,
+    # "default" = one bf16 pass, "high", "highest"). The fusion fragments the
+    # K=A forward DFT into n_sectors K=A/n matmuls; at HIGH that
+    # fragmentation costs more than the saved HBM round trip (measured
+    # BASELINE config 3: 312k fused vs 340k unfused), but at one bf16 pass it
+    # wins: 374k at recall 1.000 (the short K=45 sums bound bf16 rounding
+    # well below NCC's valley depth; the bench recall gate is the arbiter —
+    # flat-valley SSD workloads should gate before trusting "default").
+    fused_dft_precision: str = "off"
     # fam_impl="roll" + metric="ssd" only: exact fixed-point familiarity.
     # 8 = quantize candidate planes and the pre-rolled library to the
     # 1/255 grid (views live in [0, 1]) and compute ALL THREE SSD terms in
@@ -176,7 +189,11 @@ def baseline_config(n: int) -> SimConfig:
                 hat_dtype="bfloat16",
                 render_mode="sector",
             ),
-            scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc", tol_bins=3),
+            # fused_dft_precision="default": the per-sector forward-DFT
+            # contraction runs at one bf16 pass inside the renderer (no
+            # [B, R, A] panorama) — 374k vs 340k unfused at recall 1.000
+            scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc",
+                            tol_bins=3, fused_dft_precision="default"),
         )
     if n == 4:  # batched trials: 1024 vmapped agents (batching set by caller)
         return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))

@@ -151,12 +151,6 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         """(S f32[B,R,A], prepared (zc, rowsum_z)) -> cross f32[B, Nl, L]
         where cross[b,v,l] = (1/u) sum_{rw} S[b,r,(wu+l)%A] zrows[v,(r,w)].
 
-        ``roll_k`` (i32[B], from the sector renderer) absorbs the exact
-        azimuth roll pano_theta[a] = pano_phi[a+k] in the spectral domain:
-        DFT(S_theta)[f] = e^{i 2 pi f k / A} DFT(S_phi)[f] — a per-(b, f)
-        complex rotation of the panorama spectra, so the lag synthesis below
-        runs at the TRUE candidate lags with no rolled tensor materialized.
-
         The DC spectral product |SF[0]||ZF[0]| would dominate G (~1e4 on unit
         pixels), and its f32 rounding noise decorrelates across lags —
         measured 17x worse epsilon-optimality of the selected lag vs float64
@@ -165,8 +159,7 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         [B, R, A] tensor the DC bin is masked out of the spectra (SF[0] is
         the row sum, recovered as mu) and the exact lag-independent
         correction sum_a mu[b,r]·zu[v,r,a] = mu[b,r]·rowsum_z[v,r] is added
-        back — one tiny [B,R]@[R,Nl] matmul."""
-        zc, rowsum_z = aux
+        back — one tiny [B,R]@[R,Nl] matmul (see _cross_spectral)."""
         b = s.shape[0]
         flat = s.reshape(b * r, a)
         # every matmul below must honor prec: plain `@` would run bf16x1 on
@@ -175,6 +168,26 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         sre = jnp.dot(flat, wre_dc, precision=prec).reshape(b, r, -1)
         sim = jnp.dot(flat, wim, precision=prec).reshape(b, r, -1)
         mu = jnp.mean(s, axis=2)  # [B, R] — the (masked-out) SF[0] / A
+        return _cross_spectral((sre, sim, mu), aux, roll_k)
+
+    def _cross_spectral(spec, aux, roll_k=None) -> jnp.ndarray:
+        """Spectral-domain tail of :func:`_cross`, entered directly by the
+        fused sector renderer (sensor.make_render_batch_rolled with
+        ``contract=forward_mats``) which produces the DC-masked panorama
+        spectra without materializing the [B, R, A] panorama at all.
+
+        ``spec`` = (sre f32[B,R,F], sim f32[B,R,F], mu f32[B,R]) with the DC
+        bin already masked from sre (column 0 of the forward weights is
+        zeroed) and mu = SF[0]/A the azimuth row means.
+
+        ``roll_k`` (i32[B], from the sector renderer) absorbs the exact
+        azimuth roll pano_theta[a] = pano_phi[a+k] in the spectral domain:
+        DFT(S_theta)[f] = e^{i 2 pi f k / A} DFT(S_phi)[f] — a per-(b, f)
+        complex rotation of the panorama spectra, so the lag synthesis below
+        runs at the TRUE candidate lags with no rolled tensor materialized
+        (mu is roll-invariant)."""
+        sre, sim, mu = spec
+        zc, rowsum_z = aux
         k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
         if roll_k is not None:
             # reduce k*f mod A in exact int32 first: the raw angle reaches
@@ -208,13 +221,18 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         )
         return (cross + k_corr[:, :, None]) * inv_u
 
+    # forward analysis weights [A, 2F] for the fused sector renderer: one
+    # matmul against the per-sector render partials produces (sre | sim)
+    # directly — the [B, R, A] panorama is never materialized (agent.py wires
+    # this when render_mode="sector", u == 1, fam_impl="fft")
+    forward_mats = jnp.concatenate([wre_dc, wim], axis=1)
+
     if scan.metric == "ssd":
 
         def prepare(lib: LibraryPack):
             return _prepare_rows(lib.flat)
 
-        def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None, roll_k=None):
-            cross = _cross(s, prepare(lib) if aux is None else aux, roll_k)
+        def _finish(cross, lib, lag_sum, lag_sq):
             pen = (1.0 - lib.valid) * PAD_PENALTY
             d = (
                 lag_sq[:, None, :]
@@ -223,22 +241,31 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             )
             return jnp.min(jnp.maximum(d, 0.0), axis=1)  # [B, L]
 
-        lib_min.prepare = prepare
-        return lib_min
+    else:
 
-    def prepare(lib: LibraryPack):
-        return _prepare_rows(lib.z)
+        def prepare(lib: LibraryPack):
+            return _prepare_rows(lib.z)
+
+        def _finish(cross, lib, lag_sum, lag_sq):
+            pen = (1.0 - lib.valid) * PAD_PENALTY
+            mu = lag_sum / p
+            var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
+            sigma = jnp.sqrt(var + NCC_EPS)
+            zsum = jnp.sum(lib.z, axis=1)  # [Nl] (≈0: z-scored views; exact)
+            zdot = (cross - mu[:, None, :] * zsum[None, :, None]) / sigma[:, None, :]
+            d = 1.0 - zdot / p + pen[None, :, None]
+            return jnp.min(d, axis=1)  # [B, L]
 
     def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None, roll_k=None):
         cross = _cross(s, prepare(lib) if aux is None else aux, roll_k)
-        pen = (1.0 - lib.valid) * PAD_PENALTY
-        mu = lag_sum / p
-        var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
-        sigma = jnp.sqrt(var + NCC_EPS)
-        zsum = jnp.sum(lib.z, axis=1)  # [Nl] (≈0: z-scored views; kept exact)
-        zdot = (cross - mu[:, None, :] * zsum[None, :, None]) / sigma[:, None, :]
-        d = 1.0 - zdot / p + pen[None, :, None]
-        return jnp.min(d, axis=1)  # [B, L]
+        return _finish(cross, lib, lag_sum, lag_sq)
+
+    def lib_min_spectral(spec, lib: LibraryPack, lag_sum, lag_sq, aux=None,
+                         roll_k=None):
+        cross = _cross_spectral(spec, prepare(lib) if aux is None else aux, roll_k)
+        return _finish(cross, lib, lag_sum, lag_sq)
 
     lib_min.prepare = prepare
+    lib_min.spectral = lib_min_spectral
+    lib_min.forward_mats = forward_mats
     return lib_min

@@ -16,18 +16,45 @@ def _normalize(img: np.ndarray) -> np.ndarray:
     return ((img - lo) / (hi - lo)).astype(np.float32)
 
 
-def _blobs(rng: np.random.Generator, size: tuple[int, int], n_features: int) -> np.ndarray:
-    """Random Gaussian bumps — feature-rich landscape (positive control)."""
+def _blobs(rng: np.random.Generator, size: tuple[int, int], n_features: int,
+           feature_scale: float | None = None) -> np.ndarray:
+    """Random Gaussian bumps — feature-rich landscape (positive control).
+
+    ``feature_scale`` sets the length scale feature sizes derive from
+    (sigma in scale*[0.01, 0.05]); default = min(h, w), the historical
+    behavior. Pass a FIXED scale when growing the landscape so a bigger
+    world keeps the same local statistics instead of growing its features.
+
+    The default path accumulates every bump over the full plane — exact, and
+    frozen by the golden f64 fixture (tests/test_golden.py), so it must not
+    change. With ``feature_scale`` set (the scale-up mode, where full-plane
+    cost would be O(n_features * H * W) ~ 1e11 at 4096^2) each bump is
+    accumulated only on its ±6 sigma bounding box instead.
+    """
     h, w = size
+    scale = feature_scale if feature_scale is not None else min(h, w)
     img = np.zeros((h, w))
-    yy, xx = np.mgrid[0:h, 0:w]
     cx = rng.uniform(0, w, n_features)
     cy = rng.uniform(0, h, n_features)
-    sigma = rng.uniform(min(h, w) * 0.01, min(h, w) * 0.05, n_features)
+    sigma = rng.uniform(scale * 0.01, scale * 0.05, n_features)
     amp = rng.uniform(0.3, 1.0, n_features) * rng.choice([-1.0, 1.0], n_features)
+    if feature_scale is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i in range(n_features):
+            img += amp[i] * np.exp(
+                -((xx - cx[i]) ** 2 + (yy - cy[i]) ** 2) / (2 * sigma[i] ** 2)
+            )
+        return img
     for i in range(n_features):
-        img += amp[i] * np.exp(
-            -((xx - cx[i]) ** 2 + (yy - cy[i]) ** 2) / (2 * sigma[i] ** 2)
+        r = 6.0 * sigma[i]
+        x0, x1 = max(0, int(cx[i] - r)), min(w, int(cx[i] + r) + 1)
+        y0, y1 = max(0, int(cy[i] - r)), min(h, int(cy[i] + r) + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        xs = np.arange(x0, x1) - cx[i]
+        ys = np.arange(y0, y1) - cy[i]
+        img[y0:y1, x0:x1] += amp[i] * np.exp(
+            -(xs[None, :] ** 2 + ys[:, None] ** 2) / (2 * sigma[i] ** 2)
         )
     return img
 
@@ -86,6 +113,7 @@ def make_landscape(
     smooth: float = 4.0,
     cell: int = 32,
     beta: float = 2.0,
+    feature_scale: float | None = None,
 ) -> np.ndarray:
     """Synthesize an f32[H, W] landscape in [0, 1].
 
@@ -95,7 +123,7 @@ def make_landscape(
     """
     rng = np.random.default_rng(seed)
     if kind == "blobs":
-        return _normalize(_blobs(rng, size, n_features))
+        return _normalize(_blobs(rng, size, n_features, feature_scale))
     if kind == "noise":
         return _normalize(_noise(rng, size, smooth))
     if kind == "fractal":

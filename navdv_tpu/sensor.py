@@ -185,6 +185,22 @@ def _chunk_over_agents(render_chunk, chunk_b: int, landscape, *per_agent):
     return render_chunk(landscape, *per_agent)
 
 
+def _chunk_over_agents_tuple(render_chunk, chunk_b: int, landscape, *per_agent):
+    """Tuple-output variant of :func:`_chunk_over_agents` (the fused sector
+    renderer returns (spec, rowsum, rowsq) per chunk)."""
+    b = per_agent[0].shape[0]
+    if chunk_b and b > chunk_b:
+        outs = [
+            render_chunk(landscape, *(x[i : i + chunk_b] for x in per_agent))
+            for i in range(0, b, chunk_b)
+        ]
+        return tuple(
+            jnp.concatenate([o[t] for o in outs], axis=0)
+            for t in range(len(outs[0]))
+        )
+    return render_chunk(landscape, *per_agent)
+
+
 def make_render_batch(sensor: SensorConfig, window_impl: str = "auto"):
     """Batched production renderer ``(landscape, xy f32[B,2], theta f32[B]) ->
     pano f32[B, R, A]``.
@@ -310,7 +326,9 @@ def sector_bounds(
 
 
 def make_render_batch_rolled(
-    sensor: SensorConfig, window_impl: str = "auto", max_drift: float = 2.0
+    sensor: SensorConfig, window_impl: str = "auto", max_drift: float = 2.0,
+    contract: jnp.ndarray | None = None,
+    contract_precision=jax.lax.Precision.HIGH,
 ):
     """Sector renderer: ``(landscape, xy f32[B,2], theta f32[B]) ->
     (pano_phi f32[B, R, A], k i32[B])`` with the exact roll identity
@@ -325,6 +343,16 @@ def make_render_batch_rolled(
     spectral familiarity path rotates the panorama spectra by
     ``exp(i 2 pi f k / A)`` (familiarity_fft) and the per-lag statistics
     gather residue classes shifted by k (make_lag_stats dynamic_roll).
+
+    With ``contract`` (f32[A, C] — e.g. the spectral path's forward DFT
+    weights) the renderer instead returns ``(spec f32[B, R, C], k i32[B],
+    rowsum f32[B, R], rowsq f32[B, R])`` where ``spec[b,r,:] = sum_a
+    pano_phi[b,r,a] * contract[a,:]``: each sector's render partial is
+    contracted against its static rows of ``contract`` as it is produced and
+    the [B, R, A] panorama is NEVER materialized — removing a full HBM
+    round trip plus the separate statistics passes (rowsum/rowsq are reduced
+    from the same partials). Azimuth-sum reassociation only (per-sector
+    blocks), so parity with the unfused path is fp-tight.
     """
     gather_win, chunk_b, hat_bf16 = _render_scaffold(sensor, window_impl)
     dx0_np, dy0_np = polar_offsets(sensor)
@@ -361,11 +389,27 @@ def make_render_batch_rolled(
                 jnp.arange(row_lo, row_lo + n_rows, dtype=jnp.float32),
             )
         )
+    contract_slices = None
+    if contract is not None:
+        if contract.shape[0] != a_fine:
+            raise ValueError(
+                f"contract rows {contract.shape[0]} != n_fine {a_fine}"
+            )
+        # static per-sector row slices of the contraction matrix
+        contract_slices = [
+            jnp.asarray(contract[s * a_s : (s + 1) * a_s]) for s in range(n_sectors)
+        ]
+
     def render_b(landscape: jnp.ndarray, xy: jnp.ndarray, theta: jnp.ndarray):
         kf = jnp.round(theta / binw)
         phi = theta - kf * binw
         k = kf.astype(jnp.int32) % a_fine
-        return _chunk_over_agents(_render_chunk, chunk_b, landscape, xy, phi), k
+        if contract is None:
+            return _chunk_over_agents(_render_chunk, chunk_b, landscape, xy, phi), k
+        spec, rowsum, rowsq = _chunk_over_agents_tuple(
+            _render_chunk, chunk_b, landscape, xy, phi
+        )
+        return spec, k, rowsum, rowsq
 
     def _render_chunk(landscape: jnp.ndarray, xy: jnp.ndarray, phi: jnp.ndarray):
         hl, wl = landscape.shape
@@ -426,12 +470,34 @@ def make_render_batch_rolled(
                 )
                 part = jnp.sum(t * wyh, axis=1)
             parts.append(part.reshape(b, n_rings, -1))  # [B, n_rings, As]
-        # reassemble: azimuth concat within each ring block, rings across
-        blocks = [
-            jnp.concatenate(parts[i : i + n_sectors], axis=-1)
-            for i in range(0, len(parts), n_sectors)
-        ]
-        return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+        if contract_slices is None:
+            # reassemble: azimuth concat within each ring block, rings across
+            blocks = [
+                jnp.concatenate(parts[i : i + n_sectors], axis=-1)
+                for i in range(0, len(parts), n_sectors)
+            ]
+            return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+        # fused contraction: each sector partial hits its static contract rows
+        # and accumulates — the [B, R, A] panorama never exists; the lag-stat
+        # reductions ride the same VMEM-resident partials
+        spec_blocks, sum_blocks, sq_blocks = [], [], []
+        for i0 in range(0, len(parts), n_sectors):
+            sp = rs = rq = None
+            for j, part in enumerate(parts[i0 : i0 + n_sectors]):
+                term = jnp.einsum(
+                    "bra,ac->brc", part, contract_slices[j],
+                    precision=contract_precision,
+                )
+                sp = term if sp is None else sp + term
+                srow = jnp.sum(part, axis=2)
+                sqrow = jnp.sum(part * part, axis=2)
+                rs = srow if rs is None else rs + srow
+                rq = sqrow if rq is None else rq + sqrow
+            spec_blocks.append(sp)
+            sum_blocks.append(rs)
+            sq_blocks.append(rq)
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+        return cat(spec_blocks), cat(sum_blocks), cat(sq_blocks)
 
     return render_b
 

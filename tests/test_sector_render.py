@@ -168,3 +168,89 @@ def test_rolled_render_ring_blocks(small_cfg, small_world, rng, ring_blocks):
     np.testing.assert_allclose(
         np.asarray(pano_rb), np.asarray(pano_1), atol=2e-6
     )
+
+
+@pytest.mark.parametrize("metric", ["ssd", "ncc"])
+def test_fused_spectral_front_end_parity(small_world, metric):
+    """At az_upsample == 1 the sector+fft step takes the FUSED front-end (the
+    forward DFT contracted per sector inside the renderer; no [B, R, A]
+    panorama). One batched step must agree with the full-window renderer +
+    unfused fft path: same selected candidate, fp-tight familiarity."""
+    from navdv_tpu.agent import make_step_batched
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    sensor = SensorConfig(
+        n_radial=4, n_azimuth=24, az_upsample=1, r_min=2.0, r_max=8.0
+    )
+    cfg = SimConfig(
+        sensor=sensor,
+        scan=ScanConfig(n_headings=12, scan_step_bins=2, metric=metric,
+                        tol_bins=2),
+        capture_spacing=2.0,
+    )
+    cfg_sector = dataclasses.replace(
+        cfg,
+        sensor=dataclasses.replace(sensor, render_mode="sector"),
+        scan=dataclasses.replace(cfg.scan, fused_dft_precision="inherit"),
+    )
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(5)
+    b = 8
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.5, size=(b,))
+    states0 = init_state(starts, thetas)
+
+    step_full = make_step_batched(cfg, fam_impl="fft")
+    step_fused = make_step_batched(cfg_sector, fam_impl="fft")
+    assert hasattr(step_fused, "lib_prepare")
+    _, rec_full = step_full(states0, st, step_full.lib_prepare(st))
+    _, rec_fused = step_fused(states0, st, step_fused.lib_prepare(st))
+    np.testing.assert_array_equal(np.asarray(rec_fused.k), np.asarray(rec_full.k))
+    np.testing.assert_allclose(
+        np.asarray(rec_fused.fam), np.asarray(rec_full.fam), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_fused.xy), np.asarray(rec_full.xy), atol=1e-5
+    )
+
+
+def test_fused_spectral_closed_loop(small_world):
+    """Full episodes through the fused front-end recall like the unfused
+    full-window fft path on the same (coarse, u=1) workload."""
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.training import train_library
+
+    sensor = SensorConfig(
+        n_radial=4, n_azimuth=24, az_upsample=1, r_min=2.0, r_max=8.0
+    )
+    cfg = SimConfig(
+        sensor=sensor,
+        scan=ScanConfig(n_headings=12, scan_step_bins=2, metric="ncc",
+                        tol_bins=2),
+        capture_spacing=2.0,
+    )
+    cfg_sector = dataclasses.replace(
+        cfg,
+        sensor=dataclasses.replace(sensor, render_mode="sector"),
+        # the config-3 production choice: one bf16 pass per sector contraction
+        scan=dataclasses.replace(cfg.scan, fused_dft_precision="default"),
+    )
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    b = 8
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.1, size=(b,))
+    states0 = init_state(starts, thetas)
+    f_full, _ = make_navigate_batch(cfg, fam_impl="fft")(states0, st)
+    f_fused, _ = make_navigate_batch(cfg_sector, fam_impl="fft")(states0, st)
+    r_full, r_fused = float(success_rate(f_full)), float(success_rate(f_fused))
+    assert r_fused >= r_full - 0.13, (r_fused, r_full)
+    assert r_fused > 0.0
