@@ -34,10 +34,12 @@ import numpy as np
 # workload with the 1024-agent batch)
 SPEC_VIEWS = {1: 50, 2: 500, 3: 50, 4: 50}
 # config 4 is spec'd "vmap 1024 agents" (BASELINE.json:10) and stays at 1024;
-# config 1's batch is an implementation choice — 2048 with the renderer's
-# 1024-agent fusion chunks amortizes the fixed per-step op overhead (+10%
-# measured over B=1024; B=4096 regresses)
-SPEC_BATCH = {1: 2048, 2: 512, 3: 512, 4: 1024}
+# config 1/2/3 batches are implementation choices — with >=0.5 s chained
+# timed windows (RTT amortized) the sweet spots are: config 1 B=1024
+# (994k/1,121k/1,019k/788k at B=512/1024/2048/4096 — the round-2 B=2048
+# choice was an RTT artifact), config 2 B=512 (292k/300k/269k at
+# 256/512/1024), config 3 B=256 (388k/377k/258k at 256/512/1024).
+SPEC_BATCH = {1: 1024, 2: 512, 3: 256, 4: 1024}
 
 
 def _world(route_length: float, size: int = 512, kind: str = "blobs",
