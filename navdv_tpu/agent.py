@@ -315,7 +315,9 @@ def make_step_batched(
                     ),
                 )
                 a_fine = cfg.sensor.n_fine
-                f_bins = a_fine // 2 + 1
+                # retained frequency bins (spectral_cutoff-aware): the
+                # contraction matrix is [A, 2*f_bins] = (sre | sim)
+                f_bins = lib_min_fft.forward_mats.shape[1] // 2
                 n_lags = len(lags)
 
                 def step(states: AgentState, st: EpisodeStatics, aux=None):

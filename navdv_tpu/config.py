@@ -103,6 +103,21 @@ class ScanConfig:
     # well below NCC's valley depth; the bench recall gate is the arbiter —
     # flat-valley SSD workloads should gate before trusting "default").
     fused_dft_precision: str = "off"
+    # fam_impl="fft" only: keep only the first `spectral_cutoff` frequency
+    # bins of the azimuth DFT (0 = all A//2+1 bins, exact). Natural-scene
+    # spectra decay with frequency, so the tail bins add little familiarity
+    # signal but a proportional share of the DFT/product/synthesis matmul
+    # cost. APPROXIMATE — unlike every other fft-path transform this changes
+    # the metric (a high-frequency blur of the correlation); gate recall
+    # before adopting. Measured sweeps (blobs world, two trial seeds):
+    # config 3 (fused, B=256): 181(exact)/120/90/60/45/30 ->
+    # 388k/428k/445k/464k/476k/480k steps/s, recall 1.000 at EVERY point —
+    # default 45 (saturation with 1.5x margin above the first recall-flat
+    # point). Config 1 (B=1024): 181/144/120/90/72/60 ->
+    # 1,121k/1,243k/1,300k/1,336k/1,450k/1,452k, recall
+    # .982/.987/.988/.985/.980/.981 — default 90 (fastest point whose recall
+    # >= the exact path's).
+    spectral_cutoff: int = 0
     # fam_impl="roll" + metric="ssd" only: exact fixed-point familiarity.
     # 8 = quantize candidate planes and the pre-rolled library to the
     # 1/255 grid (views live in [0, 1]) and compute ALL THREE SSD terms in
@@ -171,9 +186,15 @@ def baseline_config(n: int) -> SimConfig:
     """
     if n == 1:  # ~50 stored 72x16 views, 60-heading SSD scan
         # render_mode stays "full": at R=16 the sector path's per-sector
-        # matmuls are too small to beat the one fused hat einsum (measured
-        # 828k vs 856k steps/s at B=2048); the tall config-3 sensor wins
-        return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))
+        # matmuls are too small to beat the one fused hat einsum (re-measured
+        # under honest timing at B=1024: 991k/1,069k sector at 8/4 sectors
+        # vs 1,121k full); the tall config-3 sensor wins.
+        # spectral_cutoff=90: see the ScanConfig sweep — recall 0.985 >=
+        # the exact path's 0.982, +19% steps/s
+        return SimConfig(
+            sensor=SensorConfig(hat_dtype="bfloat16"),
+            scan=ScanConfig(spectral_cutoff=90),
+        )
     if n == 2:  # dense library: 500 views, 1-degree scan steps
         return SimConfig(
             sensor=SensorConfig(hat_dtype="bfloat16"),
@@ -191,12 +212,17 @@ def baseline_config(n: int) -> SimConfig:
             ),
             # fused_dft_precision="default": the per-sector forward-DFT
             # contraction runs at one bf16 pass inside the renderer (no
-            # [B, R, A] panorama) — 374k vs 340k unfused at recall 1.000
+            # [B, R, A] panorama) — 377k vs 340k unfused at recall 1.000.
+            # spectral_cutoff=45: recall 1.000 at every swept cutoff; 476k
             scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc",
-                            tol_bins=3, fused_dft_precision="default"),
+                            tol_bins=3, fused_dft_precision="default",
+                            spectral_cutoff=45),
         )
     if n == 4:  # batched trials: 1024 vmapped agents (batching set by caller)
-        return SimConfig(sensor=SensorConfig(hat_dtype="bfloat16"))
+        return SimConfig(
+            sensor=SensorConfig(hat_dtype="bfloat16"),
+            scan=ScanConfig(spectral_cutoff=90),
+        )
     if n == 5:  # sweep grid — cells built by navdv_tpu.sweep
         return SimConfig()
     raise ValueError(f"unknown baseline config {n}")

@@ -99,9 +99,24 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     p = float(sensor.n_pixels)
     prec = matmul_precision(scan.matmul_precision)
 
-    wre, wim = map(jnp.asarray, _forward_weights(a))
-    zwre, zwim = map(jnp.asarray, _library_weights(w, u, a))
-    vre, vim = map(jnp.asarray, _inverse_lag_weights(a, np.asarray(lags)))
+    wre_np, wim_np = _forward_weights(a)
+    zwre_np, zwim_np = _library_weights(w, u, a)
+    vre_np, vim_np = _inverse_lag_weights(a, np.asarray(lags))
+    f_full = a // 2 + 1
+    fc = scan.spectral_cutoff or f_full
+    if not 0 < fc <= f_full:
+        raise ValueError(
+            f"spectral_cutoff must be in (0, {f_full}], got {scan.spectral_cutoff}"
+        )
+    # truncated-series approximation (ScanConfig.spectral_cutoff): drop the
+    # tail frequency bins from analysis AND synthesis — every downstream
+    # matmul shrinks proportionally. fc == f_full is exact.
+    wre = jnp.asarray(wre_np[:, :fc])
+    wim = jnp.asarray(wim_np[:, :fc])
+    zwre = jnp.asarray(zwre_np[:, :fc])
+    zwim = jnp.asarray(zwim_np[:, :fc])
+    vre = jnp.asarray(vre_np[:fc, :])
+    vim = jnp.asarray(vim_np[:fc, :])
     inv_u = 1.0 / u
     # precision of the spectral-product + lag-synthesis stages; the forward
     # DFT always runs at scan.matmul_precision (its coefficients feed
@@ -140,7 +155,7 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             return (zc, zd), rowsum_z
         return (zre, zim), rowsum_z
 
-    f_idx_i32 = jnp.arange(a // 2 + 1, dtype=jnp.int32)
+    f_idx_i32 = jnp.arange(fc, dtype=jnp.int32)
     # the DC bin is removed from the spectral product (see _cross) by zeroing
     # column 0 of the forward weights — folding the mask into the static
     # weights costs nothing, vs ~94 us/step for an elementwise mask pass on

@@ -130,3 +130,44 @@ def test_fft_matches_matmul_tall_sensor(metric):
     np.testing.assert_allclose(
         np.asarray(m_fft), np.asarray(m_ref), atol=2e-4 * scale, rtol=2e-4
     )
+
+
+def test_spectral_cutoff_validates_and_navigates(small_cfg, small_world):
+    """spectral_cutoff: invalid values raise; a half-spectrum cutoff still
+    recalls comparably to the exact path (approximate, recall-gated knob)."""
+    import dataclasses
+
+    import pytest
+
+    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.familiarity_fft import make_lib_min_fft
+    from navdv_tpu.metrics import success_rate
+    from navdv_tpu.oracle import resample_route
+    from navdv_tpu.sensor import scan_lag_sets
+    from navdv_tpu.training import train_library
+
+    bad = dataclasses.replace(small_cfg.scan, spectral_cutoff=10_000)
+    lags, _ = scan_lag_sets(bad)
+    with pytest.raises(ValueError, match="spectral_cutoff"):
+        make_lib_min_fft(small_cfg.sensor, bad, lags)
+
+    landscape, route = small_world
+    f_full = small_cfg.sensor.n_fine // 2 + 1
+    cfg_cut = dataclasses.replace(
+        small_cfg,
+        scan=dataclasses.replace(small_cfg.scan, spectral_cutoff=f_full // 2),
+    )
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(landscape, lib, route)
+    pts, hd = resample_route(route, small_cfg.capture_spacing)
+    rng = np.random.default_rng(0)
+    b = 8
+    starts = pts[0][None] + rng.normal(0, 0.5, (b, 2))
+    thetas = hd[0] + rng.normal(0, 0.05, (b,))
+    states0 = init_state(starts, thetas)
+    f_exact, _ = make_navigate_batch(small_cfg, fam_impl="fft")(states0, st)
+    f_cut, _ = make_navigate_batch(cfg_cut, fam_impl="fft")(states0, st)
+    r_exact = float(success_rate(f_exact))
+    r_cut = float(success_rate(f_cut))
+    assert r_cut >= r_exact - 0.25, (r_cut, r_exact)
+    assert r_cut > 0.0
