@@ -457,24 +457,31 @@ def make_navigate_batch_fn(
     t_max = cfg.agent.max_steps
     lib_prepare = getattr(step, "lib_prepare", None)
 
-    def _step_fn(st):
+    def _step_fn(st, aux=None):
         if lib_prepare is None:
             return lambda s: step(s, st)
-        aux = lib_prepare(st)  # once per episode, outside the scan
+        if aux is None:
+            # once per episode, outside the scan; callers running many
+            # episodes against ONE library should prepare once and pass
+            # ``aux`` explicitly — rebuilding the pre-rolled/spectral library
+            # per episode costs e.g. ~6 ms (92 us/step amortized) of HBM
+            # relayout at BASELINE config 2 (profiled)
+            aux = lib_prepare(st)
         return lambda s: step(s, st, aux)
 
     if not early_exit:
-        def navigate(states0: AgentState, st: EpisodeStatics):
-            step1 = _step_fn(st)
+        def navigate(states0: AgentState, st: EpisodeStatics, aux=None):
+            step1 = _step_fn(st, aux)
             final, recs = jax.lax.scan(
                 lambda s, _: step1(s), states0, None, length=t_max
             )
             recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
             return final, recs
 
+        navigate.lib_prepare = lib_prepare
         return navigate
 
-    def navigate(states0: AgentState, st: EpisodeStatics):
+    def navigate(states0: AgentState, st: EpisodeStatics, aux=None):
         b = states0.theta.shape[0]
         recs0 = StepRecord(
             xy=jnp.zeros((t_max, b, 2), jnp.float32),
@@ -485,7 +492,7 @@ def make_navigate_batch_fn(
             done=jnp.ones((t_max, b), bool),  # untouched tail = masked
         )
 
-        step1 = _step_fn(st)
+        step1 = _step_fn(st, aux)
 
         def cond(carry):
             t, states, _ = carry
@@ -501,14 +508,31 @@ def make_navigate_batch_fn(
         recs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), recs)
         return final, recs
 
+    navigate.lib_prepare = lib_prepare
     return navigate
 
 
 def make_navigate_batch(
     cfg: SimConfig, fam_impl: str = "jnp", early_exit: bool = False
 ):
-    """Batched trials (BASELINE config 4): jitted whole episodes for B agents."""
-    return jax.jit(make_navigate_batch_fn(cfg, fam_impl, early_exit=early_exit))
+    """Batched trials (BASELINE config 4): jitted whole episodes for B agents.
+
+    The returned fn is ``run(states0, statics, aux=None)``. Callers running
+    MANY episodes against one trained library should build the per-library
+    constants once via ``run.prepare(statics)`` and pass the result as
+    ``aux`` — otherwise every call rebuilds the pre-rolled/spectral library
+    (~6 ms of HBM relayout per episode at BASELINE config 2, profiled).
+    ``run.prepare`` is None for impls with no prepare stage.
+    """
+    fn = make_navigate_batch_fn(cfg, fam_impl, early_exit=early_exit)
+    jitted = jax.jit(fn)
+    lib_prepare = getattr(fn, "lib_prepare", None)
+
+    def run(states0: AgentState, st: EpisodeStatics, aux=None):
+        return jitted(states0, st, aux)
+
+    run.prepare = jax.jit(lib_prepare) if lib_prepare is not None else None
+    return run
 
 
 def navigate(landscape, lib: LibraryPack, route, start_xy, start_theta, cfg: SimConfig,

@@ -61,7 +61,7 @@ def _lag_grid(lags: np.ndarray, u: int):
     return qs_unique, grid_rows, inv_rows
 
 
-def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid,
+def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid, _dot_t,
                       grid_rows_dev, u, nq):
     """Exact low-rank split of the SSD cross term (ScanConfig.roll_rank).
 
@@ -100,24 +100,25 @@ def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid,
         y = jnp.dot(zc, basis, precision=hi)  # [Nl, k]
         resid = zc - jnp.dot(y, basis.T, precision=hi)  # [Nl, P] exact remainder
         return (
-            _prepare_rows(m[None, :]),  # [P, nq]
-            _prepare_rows(basis.T),  # [P, nq*k]
+            _prepare_rows(m[None, :]),  # [nq, P]
+            _prepare_rows(basis.T),  # [nq*k, P]
             y,
-            _prepare_rows(resid),  # [P, nq*Nl]
+            _prepare_rows(resid),  # [nq*Nl, P]
         )
 
     def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
         mmat, umat, y, rmat = prepare(lib) if aux is None else aux
         b = s.shape[0]
         nl = lib.flat.shape[0]
-        k = umat.shape[1] // nq
+        k = umat.shape[0] // nq
         t2 = _t_planes(s)  # [B*u, P]
-        cm = jnp.dot(t2, mmat, precision=hi).reshape(b, u, nq)
-        cu = jnp.dot(t2, umat, precision=hi).reshape(b, u, nq, k)
+        cm = _dot_t(t2, mmat, hi).reshape(b, u, nq)
+        cu = _dot_t(t2, umat, hi).reshape(b, u, nq, k)
         cuy = jnp.einsum("bjqk,vk->bjqv", cu, y, precision=hi)
-        cr = jnp.dot(
+        cr = jax.lax.dot_general(
             t2.astype(jnp.bfloat16),
             rmat.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(b, u, nq, nl)
         cross = cm[..., None] + cuy + cr
@@ -161,9 +162,9 @@ def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
         ).astype(jnp.int8)
 
     def prepare(lib: LibraryPack):
-        qz = _quant(_prepare_rows(lib.flat))  # [P, nq*Nl] int8
+        qz = _quant(_prepare_rows(lib.flat))  # [nq*Nl, P] int8
         qz_sq = jnp.sum(
-            qz.astype(jnp.int32) * qz.astype(jnp.int32), axis=0
+            qz.astype(jnp.int32) * qz.astype(jnp.int32), axis=1
         )  # [nq*Nl]
         pen = int_penalty * (1 - lib.valid.astype(jnp.int32))  # [Nl]
         col_add = qz_sq + jnp.tile(pen, nq)  # columns are (q-major, v)
@@ -176,8 +177,8 @@ def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
         qt = _quant(_t_planes(s))  # [B*u, P] int8
         qti = qt.astype(jnp.int32)
         qc_sq = jnp.sum(qti * qti, axis=1)  # [B*u]
-        cross = jax.lax.dot(
-            qt, qz, preferred_element_type=jnp.int32
+        cross = jax.lax.dot_general(
+            qt, qz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )  # [B*u, nq*Nl] int32, exact
         d = qc_sq[:, None] + col_add[None, :] - 2 * cross  # exact >= 0
         m_grid = jnp.min(d.reshape(b, u, nq, nl), axis=3)  # [B, u, nq] int32
@@ -217,13 +218,24 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     inv_u = 1.0 / u
 
     def _prepare_rows(zrows: jnp.ndarray) -> jnp.ndarray:
-        """zrows f32[Nl, P] -> pre-rolled library f32[P, |Q|*Nl] (q-major
-        columns: the matmul output grid is then [(b, j), (q, v)])."""
+        """zrows f32[Nl, P] -> pre-rolled library f32[|Q|*Nl, P] (q-major
+        rows: the matmul output grid is then [(b, j), (q, v)]).
+
+        Returned TRANSPOSED (P minor) and consumed via :func:`_dot_t` — this
+        is the layout XLA's RHS-transposed matmul wants at rest, so the
+        library is never relayouted (the [P, cols] orientation cost a
+        profiled ~92 us/step HBM conversion at BASELINE config 2)."""
         nl = zrows.shape[0]
         zr = zrows.reshape(nl, r, w)
         zrolled = zr[:, :, roll_idx]  # [Nl, R, nq, W]
-        zmat = jnp.transpose(zrolled, (2, 0, 1, 3)).reshape(nq * nl, r * w)
-        return zmat.T  # [P, nq*Nl]
+        return jnp.transpose(zrolled, (2, 0, 1, 3)).reshape(nq * nl, r * w)
+
+    def _dot_t(lhs: jnp.ndarray, rows: jnp.ndarray, precision) -> jnp.ndarray:
+        """``lhs f32[M, P] x rows f32[N, P] -> f32[M, N]`` contracting P on
+        both (RHS-transposed matmul, native on the MXU)."""
+        return jax.lax.dot_general(
+            lhs, rows, (((1,), (1,)), ((), ())), precision=precision
+        )
 
     def _t_planes(s: jnp.ndarray) -> jnp.ndarray:
         """S f32[B,R,A] -> residue phase planes f32[B*u, R*W]:
@@ -232,12 +244,12 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         t = jnp.transpose(s.reshape(b, r, w, u), (0, 3, 1, 2)) * inv_u
         return t.reshape(b * u, r * w)
 
-    def _cross_grid(s: jnp.ndarray, zmat_t: jnp.ndarray) -> jnp.ndarray:
-        """(S f32[B,R,A], prepared f32[P, |Q|*Nl]) -> f32[B, u, nq, Nl]
+    def _cross_grid(s: jnp.ndarray, zmat: jnp.ndarray) -> jnp.ndarray:
+        """(S f32[B,R,A], prepared f32[|Q|*Nl, P]) -> f32[B, u, nq, Nl]
         where [b, j, qi, v] = cross of lag (j, q) against view v."""
         b = s.shape[0]
-        nl = zmat_t.shape[1] // nq
-        cg = jnp.dot(_t_planes(s), zmat_t, precision=prec)  # [B*u, nq*Nl]
+        nl = zmat.shape[0] // nq
+        cg = _dot_t(_t_planes(s), zmat, prec)  # [B*u, nq*Nl]
         return cg.reshape(b, u, nq, nl)  # free: rows (b,u), cols (nq,nl)
 
     def _to_grid(per_lag: jnp.ndarray) -> jnp.ndarray:
@@ -258,7 +270,7 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             )
         if scan.roll_rank > 0:
             return _make_ssd_lowrank(
-                scan.roll_rank, _prepare_rows, _t_planes, _to_grid,
+                scan.roll_rank, _prepare_rows, _t_planes, _to_grid, _dot_t,
                 grid_rows_dev, u, nq,
             )
 

@@ -56,6 +56,7 @@ class NavigationSimulator:
         self.library = None
         self._statics = None
         self._navigate = None
+        self._aux = None
 
     @classmethod
     def from_config(cls, cfg: SimConfig, landscape, route, **kw) -> "NavigationSimulator":
@@ -68,7 +69,15 @@ class NavigationSimulator:
         self.library = train_library(self.landscape, self.route, self.cfg)
         self._statics = make_statics(self.landscape, self.library, self.route)
         self._navigate = make_navigate_batch(self.cfg, fam_impl=self.fam_impl)
+        self._aux = self._prepare_aux()
         return self
+
+    def _prepare_aux(self):
+        """Per-library constants (pre-rolled/spectral library), built once at
+        train/load time and reused by every navigate() call."""
+        if self._navigate is not None and self._navigate.prepare is not None:
+            return self._navigate.prepare(self._statics)
+        return None
 
     def save_library(self, path: str) -> None:
         from navdv_tpu.checkpoint import save_library
@@ -81,6 +90,7 @@ class NavigationSimulator:
         self.library = load_library(path)
         self._statics = make_statics(self.landscape, self.library, self.route)
         self._navigate = make_navigate_batch(self.cfg, fam_impl=self.fam_impl)
+        self._aux = self._prepare_aux()
         return self
 
     def navigate(
@@ -115,7 +125,7 @@ class NavigationSimulator:
             )
             headings = hd[nearest]
         final, rec = jax.block_until_ready(
-            self._navigate(init_state(starts, headings), self._statics)
+            self._navigate(init_state(starts, headings), self._statics, self._aux)
         )
         m = episode_metrics(final, rec)
         return NavigationResult(

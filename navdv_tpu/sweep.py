@@ -140,9 +140,13 @@ def run_cell(
         # early_exit: cells finish as soon as every trial resolves
         nav = make_navigate_batch(cfg, fam_impl=fam_impl, early_exit=True)
     states0 = init_state(starts, thetas)
-    jax.block_until_ready(nav(states0, st))  # warmup: compile + first run
+    # per-library constants once per cell, reused by both runs
+    prepare = getattr(nav, "prepare", None)
+    aux = prepare(st) if prepare is not None else None
+    args = (states0, st) if aux is None else (states0, st, aux)
+    jax.block_until_ready(nav(*args))  # warmup: compile + first run
     t0 = time.perf_counter()
-    final, rec = jax.block_until_ready(nav(states0, st))
+    final, rec = jax.block_until_ready(nav(*args))
     wall = time.perf_counter() - t0
     m = episode_metrics(final, rec)
     executed_steps = float(jnp.sum(m["n_steps"]))
