@@ -111,11 +111,13 @@ def _timed_windows(nav_fn, states0, st, repeats: int, min_window_s: float):
 
     # per-library constants (pre-rolled/spectral library) prepared ONCE and
     # reused across every episode — the production pattern for repeated
-    # trials against one trained library
+    # trials against one trained library. Fns without a prepare stage (or
+    # 2-arg sharded fns) are called unchanged.
     prepare = getattr(nav_fn, "prepare", None)
-    aux = prepare(st) if prepare is not None else None
-    raw_fn = nav_fn
-    nav_fn = lambda s, st_: raw_fn(s, st_, aux)
+    if prepare is not None:
+        aux = prepare(st)
+        raw_fn = nav_fn
+        nav_fn = lambda s, st_: raw_fn(s, st_, aux)
 
     # warmup + compile; the host pull of the scalar rate is the real sync
     final, _ = nav_fn(states0, st)

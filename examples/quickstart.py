@@ -10,6 +10,10 @@ world -> store views along a route -> re-navigate by scene familiarity.
 
 import argparse
 import os
+import sys
+
+# runnable from anywhere: python path/to/examples/quickstart.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

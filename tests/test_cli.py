@@ -35,3 +35,33 @@ def test_cli_sweep_with_spec(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "summary.json"))
     assert os.path.exists(os.path.join(out, "success_heatmap.png"))
+
+
+def test_cli_bench_arg_parity(monkeypatch, capsys):
+    """`cli bench` forwards every bench.py knob (VERDICT round 2, weak 4) —
+    dispatch is monkeypatched so CI never runs the TPU-sized workload."""
+    import sys
+
+    import navdv_tpu.cli as cli
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(cli.__file__))))
+    import bench
+
+    calls = []
+    monkeypatch.setattr(bench, "run_bench", lambda n, **kw: calls.append(("bench", n, kw)) or {"n": n})
+    monkeypatch.setattr(bench, "run_pallas_gate", lambda **kw: calls.append(("pallas", kw)) or {"g": 1})
+    monkeypatch.setattr(bench, "run_sector_gate", lambda: calls.append(("sector",)) or {"g": 2})
+
+    main(["bench", "--config", "2", "--batch", "64", "--steps", "7",
+          "--views", "21", "--route-length", "55", "--repeats", "2",
+          "--impl", "roll"])
+    kind, n, kw = calls[0]
+    assert (kind, n) == ("bench", 2)
+    assert kw == dict(batch=64, steps=7, impl="roll", repeats=2, views=21,
+                      route_length=55.0)
+
+    calls.clear()
+    main(["bench", "--all"])
+    kinds = [c[0] for c in calls]
+    assert kinds == ["bench"] * 4 + ["pallas", "pallas", "sector"]
+    assert [c[1] for c in calls[:4]] == [1, 2, 3, 4]
