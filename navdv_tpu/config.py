@@ -110,10 +110,10 @@ class ScanConfig:
     # cost. APPROXIMATE — unlike every other fft-path transform this changes
     # the metric (a high-frequency blur of the correlation); gate recall
     # before adopting. Measured sweeps (blobs world, two trial seeds):
-    # config 3 (fused, B=256): 181(exact)/120/90/60/45/30 ->
-    # 388k/428k/445k/464k/476k/480k steps/s, recall 1.000 at EVERY point —
-    # default 45 (saturation with 1.5x margin above the first recall-flat
-    # point). Config 1 (B=1024): 181/144/120/90/72/60 ->
+    # config 3 (fused, B=256): 181(exact)/120/90/60/45/30/24 ->
+    # 388k/428k/445k/464k/476k/488k/497k steps/s, recall 1.000 at EVERY
+    # point across three trial seeds — default 30 (one step of margin above
+    # the lowest probed-safe cutoff). Config 1 (B=1024): 181/144/120/90/72/60 ->
     # 1,121k/1,243k/1,300k/1,336k/1,450k/1,452k, recall
     # .982/.987/.988/.985/.980/.981 (seed 0; seeds 1/2 at cutoff 72: .989/
     # .988; a 5x-longer 260-view route at 72: 1.000 — the seed band is
@@ -218,10 +218,11 @@ def baseline_config(n: int) -> SimConfig:
             # fused_dft_precision="default": the per-sector forward-DFT
             # contraction runs at one bf16 pass inside the renderer (no
             # [B, R, A] panorama) — 377k vs 340k unfused at recall 1.000.
-            # spectral_cutoff=45: recall 1.000 at every swept cutoff; 476k
+            # spectral_cutoff=30: recall 1.000 at every swept cutoff down to
+            # 24, across three seeds; ~488k
             scan=ScanConfig(n_headings=60, scan_step_bins=2, metric="ncc",
                             tol_bins=3, fused_dft_precision="default",
-                            spectral_cutoff=45),
+                            spectral_cutoff=30),
         )
     if n == 4:  # batched trials: 1024 vmapped agents (batching set by caller)
         return SimConfig(
