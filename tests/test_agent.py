@@ -143,3 +143,36 @@ def test_divergence_stop(trained, small_cfg_module):
     final, rec = make_navigate(cfg)(init_state(np.array([64.0, 100.0]), 0.0), st)
     assert int(final.status) == STATUS_DIVERGED
     assert int(np.asarray(rec.done).sum()) == cfg.agent.max_steps - 1
+
+
+def test_prepared_aux_matches_inline_prepare(trained, small_cfg_module):
+    """make_navigate_batch(...) with run.prepare(st) passed as aux returns
+    results identical to the inline per-episode prepare (the prepare-once
+    API callers use for repeated trials against one library)."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.agent import init_state, make_navigate_batch
+    from navdv_tpu.oracle import resample_route
+
+    landscape, route, lib, st = trained
+    cfg = small_cfg_module
+    pts, hd = resample_route(route, cfg.capture_spacing)
+    rng = np.random.default_rng(3)
+    b = 4
+    starts = pts[0][None] + rng.normal(0, 0.5, (b, 2))
+    thetas = hd[0] + rng.normal(0, 0.05, (b,))
+    states0 = init_state(starts, thetas)
+
+    run = make_navigate_batch(cfg, fam_impl="roll")
+    assert run.prepare is not None
+    aux = run.prepare(st)
+    f_inline, rec_inline = run(states0, st)
+    f_aux, rec_aux = run(states0, st, aux)
+    np.testing.assert_array_equal(np.asarray(rec_inline.xy), np.asarray(rec_aux.xy))
+    np.testing.assert_array_equal(np.asarray(rec_inline.fam), np.asarray(rec_aux.fam))
+    np.testing.assert_array_equal(np.asarray(f_inline.status), np.asarray(f_aux.status))
+
+    # impls without a prepare stage expose prepare=None and still run
+    run_jnp = make_navigate_batch(cfg, fam_impl="jnp")
+    assert run_jnp.prepare is None
+    run_jnp(states0, st)
