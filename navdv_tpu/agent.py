@@ -234,16 +234,25 @@ def make_step_batched(
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
     if cfg.sensor.render_mode not in ("full", "sector"):
         raise ValueError(f"unknown render_mode {cfg.sensor.render_mode!r}")
-    if cfg.scan.roll_rank > 0 and fam_impl != "roll":
-        # the knob only exists on the rolled-library path; silence here would
-        # read as "low-rank is free" on other impls (ADVICE round 2)
-        import warnings
+    # impl-specific knobs: warn when set but routed to an impl that ignores
+    # them — silence would read as "the knob is free" (ADVICE rounds 2+3)
+    _impl_knobs = (
+        ("roll", "roll_rank", cfg.scan.roll_rank > 0),
+        ("roll", "fixed_point_bits", bool(cfg.scan.fixed_point_bits)),
+        ("fft", "spectral_cutoff", cfg.scan.spectral_cutoff > 0),
+        ("fft", "fused_dft_precision",
+         cfg.scan.fused_dft_precision != "off"),
+    )
+    for knob_impl, knob, is_set in _impl_knobs:
+        if is_set and fam_impl != knob_impl:
+            import warnings
 
-        warnings.warn(
-            f"ScanConfig.roll_rank={cfg.scan.roll_rank} has no effect with "
-            f"fam_impl={fam_impl!r}; it applies only to fam_impl='roll'",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"ScanConfig.{knob}={getattr(cfg.scan, knob)!r} has no effect"
+                f" with fam_impl={fam_impl!r}; it applies only to "
+                f"fam_impl={knob_impl!r}",
+                stacklevel=2,
+            )
     # the sector renderer's roll absorption is spectral-domain only: non-fft
     # impls fall back to the (numerically equivalent) full-window renderer
     sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"

@@ -135,7 +135,8 @@ def _make_ssd_lowrank(rank, _prepare_rows, _t_planes, _to_grid, _dot_t,
     return lib_min
 
 
-def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
+def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq,
+                          n_pixels):
     """Exact fixed-point SSD (ScanConfig.fixed_point_bits=8).
 
     Candidate planes and the pre-rolled library are quantized to the 1/255
@@ -147,14 +148,24 @@ def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
     is the EXACT SSD between the 1/255-quantized images. All three SSD terms
     run in integer arithmetic: the cross term is one int8 x int8 -> int32 MXU
     matmul (native on v5e), and the squared norms are int32 reductions of the
-    same quantized tensors (max |q|^2 P ~ 1.9e7 << 2^31: no overflow). The
-    result is a consistent metric with ZERO decorrelated per-lag noise — the
-    measured failure mode of every approximate reformulation of this cross
-    term (STATUS.md speed-of-light section); what changes is the metric
-    itself (8-bit sensor quantization), which the recall gate arbitrates.
+    same quantized tensors. The int32 envelope is validated at build time —
+    the max quantized SSD is P*255^2, so P beyond ~33k px would silently wrap
+    (ADVICE round 3); the invalid-view pad penalty is applied AFTER the f32
+    conversion (like the float paths' PAD_PENALTY) so it dominates for every
+    sensor size instead of only P <~ 4.1k. The result is a consistent metric
+    with ZERO decorrelated per-lag noise — the measured failure mode of every
+    approximate reformulation of this cross term (STATUS.md speed-of-light
+    section); what changes is the metric itself (8-bit sensor quantization),
+    which the recall gate arbitrates.
     """
     inv_s2 = 1.0 / (255.0 * 255.0)
-    int_penalty = jnp.int32(1 << 28)  # >> max possible quantized SSD (1.9e7)
+    max_d = int(n_pixels) * 255 * 255  # worst-case quantized SSD
+    if max_d >= 2**31:
+        raise ValueError(
+            f"fixed_point_bits=8 exceeds the int32 budget: {n_pixels} px "
+            f"gives max quantized SSD {max_d:.3g} >= 2^31 (silent wraparound);"
+            f" use a float fam path for sensors this large"
+        )
 
     def _quant(x: jnp.ndarray) -> jnp.ndarray:
         return (
@@ -165,13 +176,11 @@ def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
         qz = _quant(_prepare_rows(lib.flat))  # [nq*Nl, P] int8
         qz_sq = jnp.sum(
             qz.astype(jnp.int32) * qz.astype(jnp.int32), axis=1
-        )  # [nq*Nl]
-        pen = int_penalty * (1 - lib.valid.astype(jnp.int32))  # [Nl]
-        col_add = qz_sq + jnp.tile(pen, nq)  # columns are (q-major, v)
-        return qz, col_add
+        )  # [nq*Nl], columns are (q-major, v)
+        return qz, qz_sq
 
     def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
-        qz, col_add = prepare(lib) if aux is None else aux
+        qz, qz_sq = prepare(lib) if aux is None else aux
         b = s.shape[0]
         nl = lib.valid.shape[0]
         qt = _quant(_t_planes(s))  # [B*u, P] int8
@@ -180,10 +189,14 @@ def _make_ssd_fixed_point(_prepare_rows, _t_planes, grid_rows_dev, u, nq):
         cross = jax.lax.dot_general(
             qt, qz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )  # [B*u, nq*Nl] int32, exact
-        d = qc_sq[:, None] + col_add[None, :] - 2 * cross  # exact >= 0
-        m_grid = jnp.min(d.reshape(b, u, nq, nl), axis=3)  # [B, u, nq] int32
-        m = m_grid.reshape(b, u * nq)[:, grid_rows_dev]  # [B, L]
-        return m.astype(jnp.float32) * inv_s2
+        d = qc_sq[:, None] + qz_sq[None, :] - 2 * cross  # exact, in [0, max_d]
+        pen = (1.0 - lib.valid) * PAD_PENALTY  # f32 [Nl]: always dominates
+        df = (
+            d.reshape(b, u, nq, nl).astype(jnp.float32) * inv_s2
+            + pen[None, None, None, :]
+        )
+        m_grid = jnp.min(df, axis=3)  # [B, u, nq]
+        return m_grid.reshape(b, u * nq)[:, grid_rows_dev]  # [B, L]
 
     lib_min.prepare = prepare
     return lib_min
@@ -203,6 +216,13 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         raise ValueError(
             f"ScanConfig.roll_rank={scan.roll_rank} requires metric='ssd' "
             f"(got {scan.metric!r})"
+        )
+    if scan.fixed_point_bits and scan.metric != "ssd":
+        # same silent-no-op failure mode as roll_rank: the fixed-point path
+        # is an SSD identity only (ADVICE round 3)
+        raise ValueError(
+            f"ScanConfig.fixed_point_bits={scan.fixed_point_bits} requires "
+            f"metric='ssd' (got {scan.metric!r})"
         )
     r, w, u = sensor.n_radial, sensor.n_azimuth, sensor.az_upsample
     p = float(sensor.n_pixels)
@@ -266,7 +286,8 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
             if scan.roll_rank > 0:
                 raise ValueError("fixed_point_bits and roll_rank are exclusive")
             return _make_ssd_fixed_point(
-                _prepare_rows, _t_planes, grid_rows_dev, u, nq
+                _prepare_rows, _t_planes, grid_rows_dev, u, nq,
+                sensor.n_pixels,
             )
         if scan.roll_rank > 0:
             return _make_ssd_lowrank(

@@ -370,8 +370,11 @@ def make_render_batch_rolled(
     # r_max from the edge (the off-landscape stop), and a done agent's frozen
     # pose is at most ONE kinematics step past that margin, so PAD covers the
     # footprint overhang (half) minus the guaranteed margin (r_max - drift);
-    # agent.make_step_batched passes max_drift >= step_size.
-    pad = max(0, half - int(np.floor(sensor.r_max - max_drift)))
+    # agent.make_step_batched passes max_drift >= step_size. The +1 is
+    # bilinear slack: a sample at fractional radius r reads texels up to
+    # floor(r)+1, one past the floor the margin arithmetic counts
+    # (ADVICE round 3).
+    pad = max(0, half - int(np.floor(sensor.r_max - max_drift)) + 1)
     pieces = []
     for i, (ring_lo, n_rings, row_lo, n_rows, col_lo, n_cols) in enumerate(bounds):
         cols = slice((i % n_sectors) * a_s, (i % n_sectors + 1) * a_s)
