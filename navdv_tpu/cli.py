@@ -89,10 +89,13 @@ def cmd_bench(args) -> None:
 
     kw = dict(batch=args.batch, steps=args.steps, impl=args.impl,
               repeats=args.repeats, views=args.views,
-              route_length=args.route_length)
+              route_length=args.route_length, land_kind=args.land_kind)
     if args.all:
         for cfg_n in (1, 2, 3, 4):
             print(json.dumps(bench.run_bench(cfg_n, **kw)))
+        for b_small in (1, 16, 64):
+            kw_small = dict(kw, batch=b_small, gated=b_small >= 64)
+            print(json.dumps(bench.run_bench(1, **kw_small)))
         print(json.dumps(bench.run_pallas_gate(route_length=args.route_length)))
         print(json.dumps(bench.run_pallas_gate(
             route_length=args.route_length, config_n=3, batch=32, n_sample=8)))
@@ -169,8 +172,12 @@ def main(argv=None) -> None:
                    help="stored-view count (default: BASELINE spec)")
     b.add_argument("--route-length", type=float, default=40.0)
     b.add_argument("--repeats", type=int, default=3)
+    b.add_argument("--land-kind", default="blobs",
+                   help="bench-world landscape kind (blobs|fractal|noise|"
+                        "checker|flat)")
     b.add_argument("--all", action="store_true",
-                   help="configs 1-4 + the Pallas and sector parity gates")
+                   help="configs 1-4, the B=1/16/64 latency envelope, and "
+                        "the Pallas and sector parity gates")
     b.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("sweep", help="BASELINE config-5 grid with resume")
