@@ -134,14 +134,108 @@ def make_navigate_sharded(
     library is sharded over LIB_AXIS and per-shard familiarity minima are
     ``lax.pmin``-ed inside every step. Batch B must be a multiple of the
     data-axis size; statics must come from :func:`shard_statics`.
+
+    The returned fn is ``run(states0, st, aux=None)`` with a ``run.prepare``
+    mirroring :func:`navdv_tpu.agent.make_navigate_batch`: callers running
+    many episodes against ONE library should call ``aux = run.prepare(st)``
+    once and pass it to every episode — otherwise each sharded call rebuilds
+    the pre-rolled/spectral library constants inside ``shard_map`` (~6 ms of
+    HBM relayout per episode at BASELINE config 2; agent.py documents the
+    unsharded figure). ``run.prepare`` is None for impls with no prepare
+    stage.
     """
     lib_axis = LIB_AXIS if shard_lib and mesh.shape[LIB_AXIS] > 1 else None
     navigate_local = make_navigate_batch_fn(cfg, fam_impl=fam_impl, lib_axis=lib_axis)
-    sharded = shard_map(
-        navigate_local,
+    st_specs = _statics_specs(shard_lib=lib_axis is not None)
+    nav_out_specs = (_state_specs(), _record_specs())
+    base = jax.jit(shard_map(
+        lambda states0, st: navigate_local(states0, st),
         mesh=mesh,
-        in_specs=(_state_specs(), _statics_specs(shard_lib=lib_axis is not None)),
-        out_specs=(_state_specs(), _record_specs()),
+        in_specs=(_state_specs(), st_specs),
+        out_specs=nav_out_specs,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+    lib_prepare = getattr(navigate_local, "lib_prepare", None)
+
+    if lib_prepare is None:
+        def run(states0: AgentState, st: EpisodeStatics, aux=None):
+            assert aux is None, f"fam_impl={fam_impl!r} has no prepare stage"
+            return base(states0, st)
+
+        run.prepare = None
+        return run
+
+    n_lib = mesh.shape[LIB_AXIS]
+
+    def _aux_specs(st: EpisodeStatics):
+        """PartitionSpecs for the prepared aux, inferred structurally: the
+        prepare stage is a pure per-view function of the library, so an aux
+        leaf axis is LIB_AXIS-sharded exactly where preparing a 1/n_lib
+        library shard shrinks that axis by n_lib (and replicated where the
+        local shape matches the global)."""
+        as_shape = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)
+        glob_st = jax.tree.map(as_shape, st)
+        glob = jax.eval_shape(lib_prepare, glob_st)
+        if lib_axis is None:
+            return jax.tree.map(lambda _: P(), glob)
+        nl = st.lib.views.shape[0]
+        if nl % n_lib:
+            raise ValueError(
+                f"library Nl={nl} not divisible by lib axis {n_lib}; "
+                "statics must come from shard_statics (which pads)")
+        lib_local = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                (x.shape[0] // n_lib,) + tuple(x.shape[1:]), x.dtype),
+            glob_st.lib)
+        loc = jax.eval_shape(lib_prepare, glob_st._replace(lib=lib_local))
+
+        def spec_of(g, l):
+            axes = []
+            for gd, ld in zip(g.shape, l.shape):
+                if gd == ld:
+                    axes.append(None)
+                elif gd == ld * n_lib:
+                    axes.append(LIB_AXIS)
+                else:
+                    raise ValueError(
+                        f"cannot infer lib sharding for aux leaf: global "
+                        f"{g.shape} vs per-shard {l.shape} (n_lib={n_lib})")
+            return P(*axes)
+
+        return jax.tree.map(spec_of, glob, loc)
+
+    _built = {}
+
+    def _build(st: EpisodeStatics):
+        key = tuple(
+            (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(st)
+        )
+        if key not in _built:
+            aux_specs = _aux_specs(st)
+            if lib_axis is None:
+                prep = jax.jit(lib_prepare)
+            else:
+                prep = jax.jit(shard_map(
+                    lib_prepare, mesh=mesh, in_specs=(st_specs,),
+                    out_specs=aux_specs, check_vma=False,
+                ))
+            nav = jax.jit(shard_map(
+                navigate_local, mesh=mesh,
+                in_specs=(_state_specs(), st_specs, aux_specs),
+                out_specs=nav_out_specs, check_vma=False,
+            ))
+            _built[key] = (prep, nav)
+        return _built[key]
+
+    def run(states0: AgentState, st: EpisodeStatics, aux=None):
+        if aux is None:
+            return base(states0, st)
+        _, nav = _build(st)
+        return nav(states0, st, aux)
+
+    def prepare(st: EpisodeStatics):
+        prep, _ = _build(st)
+        return prep(st)
+
+    run.prepare = prepare
+    return run

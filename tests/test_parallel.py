@@ -108,6 +108,33 @@ def test_sharded_extraction_free_paths(world, fam_impl):
     assert same.mean() >= 0.75, f"too many decision flips: {same}"
 
 
+@pytest.mark.parametrize("fam_impl", ["fft", "roll"])
+@pytest.mark.parametrize("n_data,n_lib", [(4, 2), (8, 1)])
+def test_sharded_prepare_once_equivalence(world, fam_impl, n_data, n_lib):
+    """make_navigate_sharded.prepare: prepared aux (library constants built
+    once, sharded over LIB_AXIS by structural spec inference) must give
+    results identical to the unprepared sharded call that rebuilds them
+    inside shard_map (VERDICT round 3, weak 3)."""
+    cfg, st, states0 = world
+    mesh = make_mesh(n_data, n_lib)
+    st_sharded = shard_statics(st, mesh, shard_lib=n_lib > 1)
+    nav = make_navigate_sharded(cfg, mesh, fam_impl=fam_impl, shard_lib=n_lib > 1)
+    assert nav.prepare is not None  # fft/roll both have a prepare stage
+
+    want_final, want_rec = nav(states0, st_sharded)
+    aux = nav.prepare(st_sharded)
+    got_final, got_rec = nav(states0, st_sharded, aux)
+
+    # same computation on the same shards: bitwise-identical trajectories
+    np.testing.assert_array_equal(
+        np.asarray(got_final.status), np.asarray(want_final.status)
+    )
+    np.testing.assert_array_equal(np.asarray(got_rec.k), np.asarray(want_rec.k))
+    np.testing.assert_allclose(
+        np.asarray(got_rec.fam), np.asarray(want_rec.fam), rtol=0, atol=0
+    )
+
+
 @pytest.mark.parametrize("n_lib", [2, 4])
 def test_sharded_closed_loop_statistics(world, n_lib):
     """Full sharded episodes produce comparable recall statistics."""
