@@ -49,7 +49,9 @@ def main() -> None:
     )
 
     # 3. Train: one vmapped render pass stores a view library along the route.
-    sim = NavigationSimulator.from_config(cfg, landscape, route, fam_impl="fft")
+    # fam_impl defaults to "auto": the measured per-workload winner
+    # (config.choose_fam_impl); pass "jnp" for exact reference numerics
+    sim = NavigationSimulator.from_config(cfg, landscape, route)
     sim.train()
     print(f"library: {sim.library.views.shape[0]} views "
           f"({sim.library.views.shape[2]}x{sim.library.views.shape[1]} px)")
@@ -65,8 +67,11 @@ def main() -> None:
     print("wrote", out)
 
     # 6. Libraries round-trip through orbax checkpoints.
+    import shutil
+
+    shutil.rmtree(os.path.join(args.out, "library"), ignore_errors=True)
     sim.save_library(os.path.join(args.out, "library"))
-    sim2 = NavigationSimulator.from_config(cfg, landscape, route, fam_impl="fft")
+    sim2 = NavigationSimulator.from_config(cfg, landscape, route)
     sim2.load_library(os.path.join(args.out, "library"))
     r2 = sim2.navigate(n_trials=64, seed=1)
     print(f"reloaded-library success_rate: {r2.success_rate:.3f}")

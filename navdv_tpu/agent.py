@@ -231,6 +231,10 @@ def make_step_batched(
     exceeds FAM_CHUNK_ELEMS, lags are extracted and scored in chunks so only
     [B, chunk, P] is ever materialized (SURVEY.md §5.7 blockwise min).
     """
+    if fam_impl == "auto":
+        from navdv_tpu.config import choose_fam_impl
+
+        fam_impl = choose_fam_impl(cfg)
     decide = jax.vmap(_make_decide(cfg), in_axes=(0, 0, None))
     if cfg.sensor.render_mode not in ("full", "sector"):
         raise ValueError(f"unknown render_mode {cfg.sensor.render_mode!r}")

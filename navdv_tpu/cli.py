@@ -21,7 +21,11 @@ def _add_world_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--route", default="sine", choices=["line", "sine"])
     p.add_argument("--route-length", type=float, default=200.0)
-    p.add_argument("--impl", default="jnp", choices=["jnp", "fft", "roll", "conv", "pallas"])
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "jnp", "fft", "roll", "conv", "pallas"],
+                   help="familiarity impl; auto = measured per-workload "
+                        "winner (config.choose_fam_impl), jnp = exact "
+                        "reference numerics")
 
 
 def cmd_demo(args) -> None:
@@ -143,7 +147,8 @@ def cmd_sweep(args) -> None:
     if args.shard:
         i, n = args.shard.split("/")
         shard = (int(i), int(n))
-    results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl, shard=shard)
+    results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl,
+                        shard=shard, recall_check_trials=args.recall_check)
     viz.plot_sweep_heatmap(
         results, "scan", "px", os.path.join(args.out, "success_heatmap.png")
     )
@@ -191,6 +196,9 @@ def main(argv=None) -> None:
     s.add_argument("--spec", default=None, help="SweepSpec JSON file")
     s.add_argument("--start-anywhere", action="store_true",
                    help="start trials uniformly along the route (harder task)")
+    s.add_argument("--recall-check", type=int, default=64,
+                   help="per cell, re-run this many trials on the exact jnp "
+                        "path and record success_rate_jnp (0 = off)")
     s.add_argument("--trial-seed", type=int, default=None,
                    help="trial-randomization seed (default: --seed, which also "
                         "seeds the landscape)")

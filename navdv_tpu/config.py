@@ -241,5 +241,33 @@ def baseline_fam_impl(n: int) -> str:
     matmul path — same extraction-free structure, but matmul-identical
     numerics to "jnp", which keeps recall at 0.99 where the spectral path's
     decorrelated per-lag noise wanders in config 2's flat valley
-    (familiarity_roll.py, STATUS.md)."""
-    return {1: "fft", 2: "roll", 3: "fft", 4: "fft", 5: "jnp"}[n]
+    (familiarity_roll.py, STATUS.md). Config 5 (sweeps) resolves per cell via
+    :func:`choose_fam_impl` — cells differ in exactly the quantities the
+    rule reads."""
+    return {1: "fft", 2: "roll", 3: "fft", 4: "fft", 5: "auto"}[n]
+
+
+def choose_fam_impl(cfg: SimConfig) -> str:
+    """Resolve ``fam_impl="auto"``: the measured per-workload winner rule
+    (VERDICT round 3, weak 4 — user-facing defaults routed to the slowest
+    impl unless the caller knew the knob).
+
+    The rule generalizes :func:`baseline_fam_impl`'s measured outcomes:
+
+    - NCC metric -> "fft": the spectral path carries the rotation-tolerant
+      scan's algebra natively (config 3: 3.0x "jnp") and NCC's z-scored
+      valley is deep enough that spectral rounding never decided a step in
+      any measured workload (recall 1.000 across seeds).
+    - SSD + dense library (capture_spacing <= 0.5) -> "roll": adjacent
+      stored views are near-duplicates, so the familiarity valley is FLAT
+      and the fft path's decorrelated per-lag rounding noise can out-vote
+      the signal (config 2: recall 0.99 -> wandering; STATUS.md). The rolled
+      path is matmul-identical to "jnp" at ~5x its speed.
+    - SSD + sparse library -> "fft": the valley is deep (config 1/4: recall
+      within the documented 1-2pp band at 4-7x "jnp").
+    """
+    if cfg.scan.metric == "ncc":
+        return "fft"
+    if cfg.capture_spacing <= 0.5:
+        return "roll"
+    return "fft"

@@ -48,11 +48,15 @@ class NavigationResult:
 class NavigationSimulator:
     """Owns landscape + route + trained library + compiled navigate fn."""
 
-    def __init__(self, cfg: SimConfig, landscape, route, fam_impl: str = "jnp"):
+    def __init__(self, cfg: SimConfig, landscape, route, fam_impl: str = "auto"):
+        from navdv_tpu.config import choose_fam_impl
+
         self.cfg = cfg
         self.landscape = jnp.asarray(landscape, jnp.float32)
         self.route = np.asarray(route, np.float64)
-        self.fam_impl = fam_impl
+        # "auto" resolves to the measured per-workload winner (config.py);
+        # pass fam_impl="jnp" explicitly for the exact reference numerics
+        self.fam_impl = choose_fam_impl(cfg) if fam_impl == "auto" else fam_impl
         self.library = None
         self._statics = None
         self._navigate = None

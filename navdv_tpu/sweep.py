@@ -103,9 +103,10 @@ def run_cell(
     cfg: SimConfig,
     n_trials: int,
     seed: int,
-    fam_impl: str = "jnp",
+    fam_impl: str = "auto",
     mesh=None,
     start_anywhere: bool = False,
+    recall_check_trials: int = 0,
 ) -> dict:
     """Train on the route, run n_trials randomized recall episodes, aggregate.
 
@@ -113,13 +114,23 @@ def run_cell(
     over the data axis and the library over the lib axis — one cell spanning
     all chips (n_trials must be a multiple of the data-axis size).
 
+    ``fam_impl="auto"`` resolves per cell via ``config.choose_fam_impl`` (the
+    measured per-workload winner; cells differ in exactly the quantities the
+    rule reads). With ``recall_check_trials > 0`` and a non-jnp impl, the
+    first that-many trials are re-run on the exact jnp path and the cell
+    records ``success_rate_jnp`` / ``success_rate_subset`` — a per-cell
+    cross-check that the fast impl's recall matches the exact metric.
+
     Timing discipline: the episode runs once for warmup/compile, then once
     timed; ``agent_steps_per_s`` counts the agent-steps that actually executed
     (sum of per-trial active steps — the early-exit path stops a cell once
     every trial resolves), not ``n_trials * max_steps``.
     """
+    from navdv_tpu.config import choose_fam_impl
     from navdv_tpu.training import train_library
 
+    if fam_impl == "auto":
+        fam_impl = choose_fam_impl(cfg)
     land_dev = jnp.asarray(landscape)
     lib = train_library(land_dev, route, cfg)
     st = make_statics(land_dev, lib, route)
@@ -150,7 +161,7 @@ def run_cell(
     wall = time.perf_counter() - t0
     m = episode_metrics(final, rec)
     executed_steps = float(jnp.sum(m["n_steps"]))
-    return {
+    out = {
         "success_rate": np.asarray(jnp.mean(m["success"].astype(jnp.float32))),
         "mean_steps": np.asarray(jnp.mean(m["n_steps"].astype(jnp.float32))),
         "mean_path_error": np.asarray(jnp.mean(m["mean_path_error"])),
@@ -161,7 +172,22 @@ def run_cell(
         "wall_s": np.asarray(wall),
         "executed_steps": np.asarray(executed_steps),
         "agent_steps_per_s": np.asarray(executed_steps / wall),
+        "fam_impl": np.asarray(fam_impl),
     }
+    if recall_check_trials > 0 and fam_impl != "jnp":
+        nsub = min(recall_check_trials, n_trials)
+        sub = jax.tree.map(lambda x: x[:nsub], states0)
+        # the jnp check runs on the UNSHARDED statics even for mesh cells
+        st_check = st if mesh is None else make_statics(land_dev, lib, route)
+        nav_jnp = make_navigate_batch(cfg, fam_impl="jnp", early_exit=True)
+        final_jnp, rec_jnp = nav_jnp(sub, st_check)
+        m_jnp = episode_metrics(final_jnp, rec_jnp)
+        out["success_rate_jnp"] = np.asarray(
+            jnp.mean(m_jnp["success"].astype(jnp.float32)))
+        out["success_rate_subset"] = np.asarray(
+            jnp.mean(m["success"][:nsub].astype(jnp.float32)))
+        out["recall_check_trials"] = np.asarray(nsub)
+    return out
 
 
 def _log_tensorboard(out_dir: str, key: str, res: dict) -> None:
@@ -186,11 +212,12 @@ def run_sweep(
     route: np.ndarray,
     spec: SweepSpec,
     out_dir: str,
-    fam_impl: str = "jnp",
+    fam_impl: str = "auto",
     verbose: bool = True,
     shard: tuple[int, int] | None = None,
     mesh=None,
     tensorboard: bool = True,
+    recall_check_trials: int = 0,
 ) -> dict:
     """Run every cell, resuming from ``out_dir`` (cells with a result file are
     skipped). Returns {cell_key: results} and writes summary.json.
@@ -220,6 +247,7 @@ def run_sweep(
             fam_impl,
             mesh=mesh,
             start_anywhere=spec.start_anywhere,
+            recall_check_trials=recall_check_trials,
         )
         # carry the structured axis values with the results (viz reads these,
         # never the key string)

@@ -58,10 +58,15 @@ def test_cli_bench_arg_parity(monkeypatch, capsys):
     kind, n, kw = calls[0]
     assert (kind, n) == ("bench", 2)
     assert kw == dict(batch=64, steps=7, impl="roll", repeats=2, views=21,
-                      route_length=55.0)
+                      route_length=55.0, land_kind="blobs")
 
     calls.clear()
     main(["bench", "--all"])
     kinds = [c[0] for c in calls]
-    assert kinds == ["bench"] * 4 + ["pallas", "pallas", "sector"]
-    assert [c[1] for c in calls[:4]] == [1, 2, 3, 4]
+    # configs 1-4, then the B=1/16/64 config-1 latency envelope, then gates
+    assert kinds == ["bench"] * 7 + ["pallas", "pallas", "sector"]
+    assert [c[1] for c in calls[:7]] == [1, 2, 3, 4, 1, 1, 1]
+    small = [c[2] for c in calls[4:7]]
+    assert [kw_["batch"] for kw_ in small] == [1, 16, 64]
+    # tiny-batch lines skip the recall gate (no population to gate on)
+    assert [kw_["gated"] for kw_ in small] == [False, False, True]

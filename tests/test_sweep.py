@@ -146,3 +146,34 @@ def test_library_checkpoint_roundtrip(small_cfg, small_world, tmp_path):
     lib2 = load_library(path)
     np.testing.assert_array_equal(np.asarray(lib.views), np.asarray(lib2.views))
     np.testing.assert_array_equal(np.asarray(lib.valid), np.asarray(lib2.valid))
+
+
+def test_auto_impl_resolution(small_cfg):
+    """fam_impl="auto" resolves per the measured-winner rule (config.py):
+    NCC -> fft; dense SSD library -> roll; sparse SSD -> fft."""
+    import dataclasses
+
+    from navdv_tpu.config import choose_fam_impl, baseline_config
+
+    assert choose_fam_impl(baseline_config(1)) == "fft"
+    assert choose_fam_impl(baseline_config(3)) == "fft"  # ncc
+    assert choose_fam_impl(baseline_config(4)) == "fft"
+    dense = dataclasses.replace(baseline_config(2), capture_spacing=0.2)
+    assert choose_fam_impl(dense) == "roll"
+
+
+def test_run_cell_auto_with_recall_check(small_cfg, small_world):
+    """Auto-resolved cells record the resolved impl and, with
+    recall_check_trials, a per-cell jnp cross-check of recall."""
+    from navdv_tpu.sweep import run_cell
+
+    landscape, route = small_world
+    res = run_cell(landscape, route, small_cfg, n_trials=8, seed=0,
+                   fam_impl="auto", recall_check_trials=4)
+    assert str(res["fam_impl"]) in ("fft", "roll")
+    assert "success_rate_jnp" in res and "success_rate_subset" in res
+    assert int(res["recall_check_trials"]) == 4
+    # exact-path recall and fast-impl recall agree on the subset within the
+    # documented band
+    assert abs(float(res["success_rate_jnp"])
+               - float(res["success_rate_subset"])) <= 0.5
