@@ -260,6 +260,16 @@ def make_step_batched(
     # the sector renderer's roll absorption is spectral-domain only: non-fft
     # impls fall back to the (numerically equivalent) full-window renderer
     sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"
+    if cfg.sensor.phi_bins and not sector:
+        import warnings
+
+        warnings.warn(
+            f"SensorConfig.phi_bins={cfg.sensor.phi_bins} has no effect "
+            f"outside render_mode='sector' with fam_impl='fft' "
+            f"(got render_mode={cfg.sensor.render_mode!r}, "
+            f"fam_impl={fam_impl!r})",
+            stacklevel=2,
+        )
     render_b = None if sector else make_render_batch(cfg.sensor)
 
     if fam_impl == "conv":

@@ -53,6 +53,20 @@ class SensorConfig:
     # savings (config 3: 272k at 1 block, 264k at 2, 239k at 4) — so the
     # default stays 1; the knob remains for other geometries.
     ring_blocks: int = 1
+    # sector mode only: quantize the residual rotation phi (|phi| <=
+    # bin_width/2) to this many bins and contract against PRECOMPUTED static
+    # hat-weight tensors per (piece, phi-bin), selected per agent by a
+    # one-hot MXU matmul — the per-sample VPU hat-weight generation (the
+    # measured config-3 frontier, STATUS.md) leaves the step entirely. The
+    # fractional window offset (fx, fy) is applied by pre-shifting the
+    # window itself (one 4-tap bilinear blend per agent, VPU-trivial).
+    # APPROXIMATE twice over: (a) the heading rounds to the phi grid
+    # (sample displacement <= r_max*bin_width/(2*phi_bins) px — 0.011 px at
+    # the BASELINE config-3 sensor with 8 bins); (b) pre-shifting the window
+    # composes two bilinear kernels, widening the effective sampling kernel
+    # by the (fx, fy) 2-tap blend. The bench recall gate is the arbiter.
+    # 0 = off (exact continuous-phi hat generation).
+    phi_bins: int = 0
 
     @property
     def n_fine(self) -> int:

@@ -392,6 +392,41 @@ def make_render_batch_rolled(
                 jnp.arange(row_lo, row_lo + n_rows, dtype=jnp.float32),
             )
         )
+    # phi-quantized static hat weights (SensorConfig.phi_bins): per piece and
+    # per phi-bin, the full [taps, M] weight tensors are compile-time
+    # constants; the per-agent weight GENERATION (VPU elementwise hats over
+    # every tap) becomes a [B, nphi] x [nphi, taps*M] one-hot selection on
+    # the MXU. The agent's fractional offset moves into a window pre-shift
+    # (see _render_chunk).
+    nphi = sensor.phi_bins
+    wdt = np.float32
+    phi_weights = []
+    if nphi:
+        phi_centers = -binw / 2 + (np.arange(nphi) + 0.5) * (binw / nphi)
+        for n_rings, row_lo, n_rows, col_lo, n_cols, dxs, dys, _, _ in pieces:
+            dx = np.asarray(dxs, np.float64)
+            dy = np.asarray(dys, np.float64)
+            wxs, wys = [], []
+            for pj in phi_centers:
+                c, s = np.cos(pj), np.sin(pj)
+                xs = np.clip(
+                    half + c * dx - s * dy, col_lo, col_lo + n_cols - 1
+                ).reshape(-1)
+                ys = np.clip(
+                    half + s * dx + c * dy, row_lo, row_lo + n_rows - 1
+                ).reshape(-1)
+                qc = np.arange(col_lo, col_lo + n_cols, dtype=np.float64)[:, None]
+                qr = np.arange(row_lo, row_lo + n_rows, dtype=np.float64)[:, None]
+                wxs.append(np.maximum(0.0, 1.0 - np.abs(xs[None, :] - qc)))
+                wys.append(np.maximum(0.0, 1.0 - np.abs(ys[None, :] - qr)))
+            dt = jnp.bfloat16 if hat_bf16 else jnp.float32
+            phi_weights.append(
+                (
+                    jnp.asarray(np.stack(wxs).astype(wdt), dt),  # [nphi, nc, M]
+                    jnp.asarray(np.stack(wys).astype(wdt), dt),  # [nphi, nr, M]
+                )
+            )
+
     contract_slices = None
     if contract is not None:
         if contract.shape[0] != a_fine:
@@ -437,26 +472,60 @@ def make_render_batch_rolled(
         c = jnp.cos(phi)
         s = jnp.sin(phi)
         bcast = lambda v: v[:, None, None]
+        if nphi:
+            # phi-bin one-hot + fractional window pre-shift: the static
+            # per-bin weights assume sample position half + Rot(phi_j)@d, so
+            # the (fx, fy) fraction is applied to the WINDOW as one 4-tap
+            # bilinear blend (edge columns/rows replicate = edge clamp) and
+            # phi rounds to its bin center
+            jbin = jnp.clip(
+                jnp.floor((phi + binw / 2) * (nphi / binw)), 0, nphi - 1
+            ).astype(jnp.int32)
+            oh = (jbin[:, None] == jnp.arange(nphi)[None, :]).astype(
+                jnp.bfloat16 if hat_bf16 else jnp.float32
+            )
+            frx = bcast(fx - half)
+            fry = bcast(fy - half)
+            wsx = jnp.concatenate([wins[:, :, 1:], wins[:, :, -1:]], axis=2)
+            wtmp = wins * (1 - frx) + wsx * frx
+            wsy = jnp.concatenate([wtmp[:, 1:, :], wtmp[:, -1:, :]], axis=1)
+            wins = wtmp * (1 - fry) + wsy * fry
         parts = []
         # transposed-hat layout: taps live in SUBLANES and the merged
         # (ring x sector-azimuth) axis in LANES, so every per-piece tensor
         # has a lane-dense minor dim — the (r, a, taps) layout materialized
         # tap-minor [B, R, As, ~11] tensors whose 128-lane tile padding cost
         # ~6 ms/step of HBM copies at B=2048 (profiled)
-        for n_rings, row_lo, n_rows, col_lo, n_cols, dxs, dys, iota_c, iota_r in pieces:
-            xs = jnp.clip(
-                bcast(fx) + bcast(c) * dxs - bcast(s) * dys,
-                col_lo,
-                col_lo + n_cols - 1,
-            ).reshape(b, 1, -1)  # [B, 1, n_rings*As]
-            ys = jnp.clip(
-                bcast(fy) + bcast(s) * dxs + bcast(c) * dys,
-                row_lo,
-                row_lo + n_rows - 1,
-            ).reshape(b, 1, -1)
+        for i, (n_rings, row_lo, n_rows, col_lo, n_cols, dxs, dys, iota_c, iota_r) in enumerate(pieces):
             win_s = wins[:, row_lo : row_lo + n_rows, col_lo : col_lo + n_cols]
-            wxh = jnp.maximum(0.0, 1.0 - jnp.abs(xs - iota_c[:, None]))  # [B,nc,M]
-            wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_r[:, None]))  # [B,nr,M]
+            if nphi:
+                wxq, wyq = phi_weights[i]
+                if hat_bf16:
+                    wxh = jnp.einsum(
+                        "bj,jcm->bcm", oh, wxq,
+                        preferred_element_type=jnp.bfloat16,
+                    )
+                    wyh = jnp.einsum(
+                        "bj,jrm->brm", oh, wyq,
+                        preferred_element_type=jnp.bfloat16,
+                    )
+                else:
+                    hi = jax.lax.Precision.HIGHEST
+                    wxh = jnp.einsum("bj,jcm->bcm", oh, wxq, precision=hi)
+                    wyh = jnp.einsum("bj,jrm->brm", oh, wyq, precision=hi)
+            else:
+                xs = jnp.clip(
+                    bcast(fx) + bcast(c) * dxs - bcast(s) * dys,
+                    col_lo,
+                    col_lo + n_cols - 1,
+                ).reshape(b, 1, -1)  # [B, 1, n_rings*As]
+                ys = jnp.clip(
+                    bcast(fy) + bcast(s) * dxs + bcast(c) * dys,
+                    row_lo,
+                    row_lo + n_rows - 1,
+                ).reshape(b, 1, -1)
+                wxh = jnp.maximum(0.0, 1.0 - jnp.abs(xs - iota_c[:, None]))  # [B,nc,M]
+                wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_r[:, None]))  # [B,nr,M]
             if hat_bf16:
                 t = jnp.einsum(
                     "bpq,bqm->bpm",

@@ -254,3 +254,43 @@ def test_fused_spectral_closed_loop(small_world):
     r_full, r_fused = float(success_rate(f_full)), float(success_rate(f_fused))
     assert r_fused >= r_full - 0.13, (r_fused, r_full)
     assert r_fused > 0.0
+
+
+@pytest.mark.parametrize("hat_dtype", ["float32", "bfloat16"])
+def test_phi_bins_render_close_to_exact(small_cfg, small_world, rng, hat_dtype):
+    """SensorConfig.phi_bins: the phi-quantized static-hat renderer (one-hot
+    MXU weight selection + fractional window pre-shift) tracks the exact
+    sector renderer within its documented approximation envelope — the
+    (fx, fy) pre-shift blur dominates (~6e-3 max pixel error); the roll k is
+    identical (phi quantization never crosses a bin boundary)."""
+    landscape, _ = small_world
+    s = dataclasses.replace(small_cfg.sensor, hat_dtype=hat_dtype)
+    poses = rng.uniform(12, 116, size=(16, 2)).astype(np.float32)
+    thetas = jnp.asarray(rng.uniform(-7, 7, size=(16,)).astype(np.float32))
+    p0, k0 = make_render_batch_rolled(s)(
+        jnp.asarray(landscape), jnp.asarray(poses), thetas
+    )
+    sq = dataclasses.replace(s, phi_bins=8)
+    p1, k1 = make_render_batch_rolled(sq)(
+        jnp.asarray(landscape), jnp.asarray(poses), thetas
+    )
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    err = np.abs(np.asarray(p1) - np.asarray(p0))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 2e-3, err.mean()
+
+
+def test_phi_bins_warns_outside_sector_fft(small_cfg, small_world):
+    """The phi_bins knob is sector+fft only; other routings warn (the
+    knob-applicability pattern, ADVICE rounds 2-4)."""
+    import warnings
+
+    from navdv_tpu.agent import make_step_batched
+
+    cfg = dataclasses.replace(
+        small_cfg, sensor=dataclasses.replace(small_cfg.sensor, phi_bins=8)
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_step_batched(cfg, fam_impl="jnp")
+    assert any("phi_bins" in str(x.message) for x in w)
