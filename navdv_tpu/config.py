@@ -135,7 +135,12 @@ class ScanConfig:
     # (the saturation point). For reference, the jnp extract-then-matmul
     # path measures 0.999 here: the spectral family as a whole trades ~1pp
     # recall for ~4x throughput, a standing accuracy-gated choice since
-    # round 2.
+    # round 2. Second-world gate (round 4, artifacts/bench_r4_gate_demo.
+    # jsonl): on a fractal 1/f^2 world — where the familiarity valley
+    # flattens and an approximate metric is exactly what should fail — the
+    # adopted defaults hold: config 1 recall 1.000 (= exact ref), config 3
+    # 0.949 vs exact 0.957 (in-band; the fractal world is intrinsically
+    # harder for the exact metric too).
     spectral_cutoff: int = 0
     # fam_impl="roll" + metric="ssd" only: exact fixed-point familiarity.
     # 8 = quantize candidate planes and the pre-rolled library to the
