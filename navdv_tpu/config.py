@@ -66,6 +66,13 @@ class SensorConfig:
     # composes two bilinear kernels, widening the effective sampling kernel
     # by the (fx, fy) 2-tap blend. The bench recall gate is the arbiter.
     # 0 = off (exact continuous-phi hat generation).
+    # MEASURED RESULT (round 4, artifacts/phi_bins_refutation.jsonl): 2.2x
+    # SLOWER than the exact path at BASELINE config 3 (229k vs 512k steps/s,
+    # recall 1.000 both), flat in phi_bins — the selected [B, taps, M]
+    # weight tensors materialize to HBM (matmuls don't fuse into matmul
+    # operands) where the exact path's hat generation fuses into the
+    # contraction and never leaves VMEM. Kept as a documented negative
+    # result; do not enable expecting a win.
     phi_bins: int = 0
 
     @property
@@ -141,6 +148,8 @@ class ScanConfig:
     # adopted defaults hold: config 1 recall 1.000 (= exact ref), config 3
     # 0.949 vs exact 0.957 (in-band; the fractal world is intrinsically
     # harder for the exact metric too).
+    # NOTE (round 4): phi_bins (SensorConfig) was the attempted next step on
+    # this frontier and is REFUTED — see SensorConfig.phi_bins.
     spectral_cutoff: int = 0
     # fam_impl="roll" + metric="ssd" only: exact fixed-point familiarity.
     # 8 = quantize candidate planes and the pre-rolled library to the

@@ -17,18 +17,40 @@ from navdv_tpu.oracle import resample_route  # host-side; shared semantics
 from navdv_tpu.sensor import make_render_view
 
 
+# capture chunk: the vmapped full-window renderer materializes
+# [chunk, R, A, wsz] hat transients (~0.5 GB/1k views at a 72x16 u=5
+# sensor); one unchunked launch at 6000+ views exhausted HBM on v5e-16GB
+# (round-4 large-library envelope, artifacts/biglib_envelope.jsonl) — the
+# dense-library training axis is SURVEY §5.7's growing axis, so capture in
+# bounded chunks. Throughput-neutral at small Nl (cold path, one-time).
+TRAIN_CHUNK_VIEWS = 1024
+
+
 def train_library(
     landscape: jnp.ndarray, route: np.ndarray, cfg: SimConfig
 ) -> LibraryPack:
     """Capture one view per resampled route point (heading = tangent) and pack.
 
-    Cold path: one vmapped render over all ~Nl poses.
+    Cold path: vmapped renders over the route poses, in TRAIN_CHUNK_VIEWS
+    chunks so the hat-weight transients stay bounded at dense libraries.
     """
     pts, headings = resample_route(np.asarray(route, dtype=np.float64), cfg.capture_spacing)
     render_view = make_render_view(cfg.sensor)
-    views = jax.vmap(render_view, in_axes=(None, 0, 0))(
-        landscape,
-        jnp.asarray(pts, dtype=jnp.float32),
-        jnp.asarray(headings, dtype=jnp.float32),
+    render_many = jax.jit(jax.vmap(render_view, in_axes=(None, 0, 0)))
+    pts_d = jnp.asarray(pts, dtype=jnp.float32)
+    hd_d = jnp.asarray(headings, dtype=jnp.float32)
+    n = pts_d.shape[0]
+    if n <= TRAIN_CHUNK_VIEWS:
+        return pack_library(render_many(landscape, pts_d, hd_d))
+    views = jnp.concatenate(
+        [
+            render_many(
+                landscape,
+                pts_d[i : i + TRAIN_CHUNK_VIEWS],
+                hd_d[i : i + TRAIN_CHUNK_VIEWS],
+            )
+            for i in range(0, n, TRAIN_CHUNK_VIEWS)
+        ],
+        axis=0,
     )
     return pack_library(views)
