@@ -170,6 +170,11 @@ class ScanConfig:
     # bounded by |c|*|r_v|*2^-9 — negligible when the library is a smooth
     # route (measured effective rank ~16 at BASELINE config 2's 500 views;
     # tail |r|^2 ~ 1e-4). 0 = dense cross term at matmul_precision.
+    # Measured win (round 4, artifacts/int8_rank_demo.jsonl): on a noise-
+    # world dense-library workload (deep valley) roll_rank=16 gives +51%
+    # steps/s and fixed_point_bits=8 +11%, both at recall equal to the
+    # default — while the same knobs lose recall on the flat-valley blobs
+    # bench world. Gate recall per workload before adopting.
     roll_rank: int = 0
 
     def shifts(self) -> list[int]:
