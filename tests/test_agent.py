@@ -176,3 +176,20 @@ def test_prepared_aux_matches_inline_prepare(trained, small_cfg_module):
     run_jnp = make_navigate_batch(cfg, fam_impl="jnp")
     assert run_jnp.prepare is None
     run_jnp(states0, st)
+
+
+def test_train_library_chunking_equivalence(trained, small_cfg_module, monkeypatch):
+    """TRAIN_CHUNK_VIEWS capture chunking (round-4 large-library envelope:
+    one unchunked vmapped render OOMed at ~6k views) is bitwise-equivalent
+    to the unchunked path — same per-view program, chunked only over poses."""
+    import navdv_tpu.training as training
+
+    landscape, route, lib, _ = trained
+    monkeypatch.setattr(training, "TRAIN_CHUNK_VIEWS", 3)  # force many chunks
+    lib_chunked = training.train_library(
+        jnp.asarray(landscape), route, small_cfg_module
+    )
+    assert lib_chunked.views.shape == lib.views.shape
+    np.testing.assert_array_equal(
+        np.asarray(lib_chunked.views), np.asarray(lib.views)
+    )
