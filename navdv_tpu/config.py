@@ -298,9 +298,18 @@ def choose_fam_impl(cfg: SimConfig) -> str:
       path is matmul-identical to "jnp" at ~5x its speed.
     - SSD + sparse library -> "fft": the valley is deep (config 1/4: recall
       within the documented 1-2pp band at 4-7x "jnp").
+    - SSD + small sensor (n_pixels < 512) -> "jnp": measured round 4
+      (artifacts/sweep_r4_auto + small-sensor probe): at 18x4 (u=20) the
+      extract-then-matmul path runs 1.31M steps/s — 1.9-3.1x fft and ~2x
+      roll — because the extraction-free paths pay the FULL fine-azimuth
+      circle (A=360 DFT bins / a u-times-wider pre-rolled library) for
+      views of only 72-288 px, and the fft path also lost up to 17pp recall
+      at sparse spacings there. Exact numerics, fastest, no trade.
     """
     if cfg.scan.metric == "ncc":
         return "fft"
+    if cfg.scan.metric == "ssd" and cfg.sensor.n_pixels < 512:
+        return "jnp"
     if cfg.capture_spacing <= 0.5:
         return "roll"
     return "fft"

@@ -160,17 +160,36 @@ def test_auto_impl_resolution(small_cfg):
     assert choose_fam_impl(baseline_config(4)) == "fft"
     dense = dataclasses.replace(baseline_config(2), capture_spacing=0.2)
     assert choose_fam_impl(dense) == "roll"
+    # small SSD sensors route to the exact extract-then-matmul path: the
+    # extraction-free impls pay the full fine-azimuth circle for tiny views
+    # (measured round 4: jnp 1.9-3.1x faster AND exact there)
+    from navdv_tpu.config import SensorConfig
+
+    small = dataclasses.replace(
+        baseline_config(5),
+        sensor=SensorConfig(n_azimuth=18, n_radial=4, az_upsample=20),
+    )
+    assert choose_fam_impl(small) == "jnp"
+    small_dense = dataclasses.replace(small, capture_spacing=0.2)
+    assert choose_fam_impl(small_dense) == "jnp"
 
 
 def test_run_cell_auto_with_recall_check(small_cfg, small_world):
     """Auto-resolved cells record the resolved impl and, with
     recall_check_trials, a per-cell jnp cross-check of recall."""
+    import dataclasses
+
     from navdv_tpu.sweep import run_cell
 
     landscape, route = small_world
-    res = run_cell(landscape, route, small_cfg, n_trials=8, seed=0,
+    # NCC resolves to the spectral path regardless of sensor size, so the
+    # jnp cross-check branch is exercised (small SSD sensors resolve to jnp)
+    cfg = dataclasses.replace(
+        small_cfg, scan=dataclasses.replace(small_cfg.scan, metric="ncc")
+    )
+    res = run_cell(landscape, route, cfg, n_trials=8, seed=0,
                    fam_impl="auto", recall_check_trials=4)
-    assert str(res["fam_impl"]) in ("fft", "roll")
+    assert str(res["fam_impl"]) == "fft"
     assert "success_rate_jnp" in res and "success_rate_subset" in res
     assert int(res["recall_check_trials"]) == 4
     # exact-path recall and fast-impl recall agree on the subset within the
