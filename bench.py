@@ -534,7 +534,15 @@ def main() -> None:
                          "-> DMA band source), e.g. 4096")
     ap.add_argument("--big-kind", default="fractal",
                     help="landscape kind for --big-landscape")
+    ap.add_argument("--jax-cache", default=None, metavar="DIR",
+                    help="persist compiled XLA executables to DIR; repeat "
+                         "runs skip the ~30 s first compiles "
+                         "(navdv_tpu.utils.compile_cache)")
     args = ap.parse_args()
+    if args.jax_cache:
+        from navdv_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache)
     if args.big_landscape:
         print(json.dumps(run_big_landscape(
             size=args.big_landscape, land_kind=args.big_kind,

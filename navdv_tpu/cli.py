@@ -142,6 +142,7 @@ def cmd_sweep(args) -> None:
             max_steps=steps,
             seed=trial_seed,
             start_anywhere=args.start_anywhere,
+            lib_bucket=args.lib_bucket,
         )
     shard = None
     if args.shard:
@@ -157,6 +158,10 @@ def cmd_sweep(args) -> None:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="navdv_tpu")
+    ap.add_argument("--jax-cache", default=None, metavar="DIR",
+                    help="persist compiled XLA executables to DIR; re-runs "
+                         "load in ~100 ms instead of recompiling "
+                         "(utils.compile_cache)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("demo", help="train + batched recall + plots")
@@ -202,9 +207,18 @@ def main(argv=None) -> None:
     s.add_argument("--trial-seed", type=int, default=None,
                    help="trial-randomization seed (default: --seed, which also "
                         "seeds the landscape)")
+    s.add_argument("--lib-bucket", type=int, default=0,
+                   help="pad libraries to a multiple of this many views so "
+                        "spacing-only cells share one XLA compilation "
+                        "(0 = off; results are unchanged — padded views "
+                        "never win the familiarity min)")
     s.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)
+    if args.jax_cache:
+        from navdv_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache)
     args.fn(args)
 
 

@@ -2,8 +2,10 @@
 granularity x library size, thousands of episodes per cell).
 
 SURVEY.md §3.5 rebuild notes:
-  - each grid cell changes array shapes -> one XLA compilation per cell
-    (shape-bucketing via pad_library can merge library-size cells);
+  - each grid cell changes array shapes -> one XLA compilation per cell;
+    SweepSpec.lib_bucket pads libraries to bucketed shapes so cells that
+    differ only in capture_spacing share ONE compilation (run_sweep keeps a
+    navigate-fn cache across cells);
   - trials *within* a cell are vmapped (one device launch per cell);
   - across chips, cells run through the data-parallel mesh path;
   - per-cell results land on disk atomically -> preemption-safe resume at
@@ -51,6 +53,15 @@ class SweepSpec:
     # start trials uniformly along the route instead of at its start (the
     # harder "recall from anywhere" task; trials.make_trials)
     start_anywhere: bool = False
+    # shape-bucketing (SURVEY.md §7 hard-part 3): pad every cell's library up
+    # to a multiple of this many views (0 = off). Cells that differ only in
+    # capture_spacing then share one array shape — and one XLA compilation
+    # (run_sweep reuses the navigate fn across cells, so later cells skip the
+    # ~30 s compile). Padded views carry +PAD_PENALTY distance in every
+    # familiarity impl, so results are identical to the unpadded cell
+    # (tests/test_sweep.py::test_lib_bucket_equivalence). Under a mesh with a
+    # lib axis, pick a multiple of the lib-axis size.
+    lib_bucket: int = 0
 
     @classmethod
     def from_json(cls, path: str) -> "SweepSpec":
@@ -107,6 +118,8 @@ def run_cell(
     mesh=None,
     start_anywhere: bool = False,
     recall_check_trials: int = 0,
+    lib_bucket: int = 0,
+    nav_cache: dict | None = None,
 ) -> dict:
     """Train on the route, run n_trials randomized recall episodes, aggregate.
 
@@ -125,6 +138,14 @@ def run_cell(
     timed; ``agent_steps_per_s`` counts the agent-steps that actually executed
     (sum of per-trial active steps — the early-exit path stops a cell once
     every trial resolves), not ``n_trials * max_steps``.
+
+    ``lib_bucket > 1`` pads the library shape up to that multiple (see
+    SweepSpec.lib_bucket); ``nav_cache`` (a dict the caller keeps across
+    cells) then reuses one navigate fn — and its XLA compilation — for every
+    cell whose traced program is identical (same sensor/scan/agent config and
+    resolved impl; capture_spacing only changes the now-bucketed shapes).
+    ``warmup_s`` in the results shows the reuse: compile-hit cells drop from
+    ~30 s to the bare episode time.
     """
     from navdv_tpu.config import choose_fam_impl
     from navdv_tpu.training import train_library
@@ -132,11 +153,24 @@ def run_cell(
     if fam_impl == "auto":
         fam_impl = choose_fam_impl(cfg)
     land_dev = jnp.asarray(landscape)
-    lib = train_library(land_dev, route, cfg)
+    # bucketed capture: the padded render shape lets spacing-only cells share
+    # the capture-render compile too (the slowest compile in a cell)
+    lib = train_library(land_dev, route, cfg, pad_views_to=lib_bucket)
+    n_views_true = int(lib.views.shape[0])
+    if lib_bucket > 1:
+        from navdv_tpu.parallel.mesh import pad_library
+
+        lib = pad_library(lib, lib_bucket)
     st = make_statics(land_dev, lib, route)
     starts, thetas = make_trials(
         route, cfg, n_trials, seed=seed, start_anywhere=start_anywhere
     )
+    # the traced program does not depend on capture_spacing (it only sets the
+    # library shape, which lib_bucket normalizes) — key the fn cache on
+    # everything else so shape-equal cells share one compilation
+    if nav_cache is None:
+        nav_cache = {}
+    cfg_key = dataclasses.replace(cfg, capture_spacing=0.0)
     if mesh is not None:
         from navdv_tpu.parallel.mesh import (
             LIB_AXIS,
@@ -146,16 +180,28 @@ def run_cell(
 
         shard_lib = mesh.shape[LIB_AXIS] > 1
         st = shard_statics(st, mesh, shard_lib=shard_lib)
-        nav = make_navigate_sharded(cfg, mesh, fam_impl=fam_impl, shard_lib=shard_lib)
+        key = ("mesh", cfg_key, fam_impl, id(mesh), shard_lib)
+        if key not in nav_cache:
+            nav_cache[key] = make_navigate_sharded(
+                cfg, mesh, fam_impl=fam_impl, shard_lib=shard_lib
+            )
+        nav = nav_cache[key]
     else:
         # early_exit: cells finish as soon as every trial resolves
-        nav = make_navigate_batch(cfg, fam_impl=fam_impl, early_exit=True)
+        key = ("batch", cfg_key, fam_impl)
+        if key not in nav_cache:
+            nav_cache[key] = make_navigate_batch(
+                cfg, fam_impl=fam_impl, early_exit=True
+            )
+        nav = nav_cache[key]
     states0 = init_state(starts, thetas)
     # per-library constants once per cell, reused by both runs
     prepare = getattr(nav, "prepare", None)
     aux = prepare(st) if prepare is not None else None
     args = (states0, st) if aux is None else (states0, st, aux)
+    t_w = time.perf_counter()
     jax.block_until_ready(nav(*args))  # warmup: compile + first run
+    warmup_s = time.perf_counter() - t_w
     t0 = time.perf_counter()
     final, rec = jax.block_until_ready(nav(*args))
     wall = time.perf_counter() - t0
@@ -167,9 +213,11 @@ def run_cell(
         "mean_path_error": np.asarray(jnp.mean(m["mean_path_error"])),
         "max_path_error": np.asarray(jnp.max(m["max_path_error"])),
         "status_counts": np.bincount(np.asarray(final.status), minlength=4),
-        "n_library_views": np.asarray(lib.views.shape[0]),
+        "n_library_views": np.asarray(n_views_true),
+        "n_library_padded": np.asarray(lib.views.shape[0]),
         "n_trials": np.asarray(n_trials),
         "wall_s": np.asarray(wall),
+        "warmup_s": np.asarray(warmup_s),
         "executed_steps": np.asarray(executed_steps),
         "agent_steps_per_s": np.asarray(executed_steps / wall),
         "fam_impl": np.asarray(fam_impl),
@@ -179,7 +227,12 @@ def run_cell(
         sub = jax.tree.map(lambda x: x[:nsub], states0)
         # the jnp check runs on the UNSHARDED statics even for mesh cells
         st_check = st if mesh is None else make_statics(land_dev, lib, route)
-        nav_jnp = make_navigate_batch(cfg, fam_impl="jnp", early_exit=True)
+        key_jnp = ("batch", cfg_key, "jnp")
+        if key_jnp not in nav_cache:
+            nav_cache[key_jnp] = make_navigate_batch(
+                cfg, fam_impl="jnp", early_exit=True
+            )
+        nav_jnp = nav_cache[key_jnp]
         final_jnp, rec_jnp = nav_jnp(sub, st_check)
         m_jnp = episode_metrics(final_jnp, rec_jnp)
         out["success_rate_jnp"] = np.asarray(
@@ -229,6 +282,7 @@ def run_sweep(
     """
     os.makedirs(out_dir, exist_ok=True)
     all_results = {}
+    nav_cache: dict = {}  # one compile per traced program (see lib_bucket)
     for idx, (key, cfg, params) in enumerate(spec.cells()):
         if shard is not None and idx % shard[1] != shard[0]:
             continue
@@ -248,6 +302,8 @@ def run_sweep(
             mesh=mesh,
             start_anywhere=spec.start_anywhere,
             recall_check_trials=recall_check_trials,
+            lib_bucket=spec.lib_bucket,
+            nav_cache=nav_cache,
         )
         # carry the structured axis values with the results (viz reads these,
         # never the key string)

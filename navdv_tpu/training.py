@@ -7,6 +7,8 @@ is a single f32[Nl, R, W] array resident in HBM.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,22 +28,45 @@ from navdv_tpu.sensor import make_render_view
 TRAIN_CHUNK_VIEWS = 1024
 
 
+@functools.lru_cache(maxsize=16)
+def _capture_renderer(sensor_cfg):
+    """One jitted batched capture renderer per sensor config. The capture
+    render is the slowest compile in a sweep cell (~25-80 s per distinct
+    [Nl] shape through the tunnel — it dominates the per-cell wall,
+    artifacts/bucket_sweep.jsonl); caching the jit object makes in-process
+    reuse guaranteed rather than dependent on the runtime's program cache."""
+    return jax.jit(jax.vmap(make_render_view(sensor_cfg), in_axes=(None, 0, 0)))
+
+
 def train_library(
-    landscape: jnp.ndarray, route: np.ndarray, cfg: SimConfig
+    landscape: jnp.ndarray,
+    route: np.ndarray,
+    cfg: SimConfig,
+    pad_views_to: int = 0,
 ) -> LibraryPack:
     """Capture one view per resampled route point (heading = tangent) and pack.
 
     Cold path: vmapped renders over the route poses, in TRAIN_CHUNK_VIEWS
     chunks so the hat-weight transients stay bounded at dense libraries.
+
+    ``pad_views_to > 1`` renders at a pose count padded up to that multiple
+    (repeating the final pose) and slices back to the true count — the
+    returned library is identical, but sweeps whose cells differ only in
+    library size then reuse ONE capture-render compilation
+    (SweepSpec.lib_bucket wires this through).
     """
     pts, headings = resample_route(np.asarray(route, dtype=np.float64), cfg.capture_spacing)
-    render_view = make_render_view(cfg.sensor)
-    render_many = jax.jit(jax.vmap(render_view, in_axes=(None, 0, 0)))
+    render_many = _capture_renderer(cfg.sensor)
     pts_d = jnp.asarray(pts, dtype=jnp.float32)
     hd_d = jnp.asarray(headings, dtype=jnp.float32)
     n = pts_d.shape[0]
-    if n <= TRAIN_CHUNK_VIEWS:
-        return pack_library(render_many(landscape, pts_d, hd_d))
+    if pad_views_to > 1 and n % pad_views_to:
+        rem = (-n) % pad_views_to
+        pts_d = jnp.concatenate([pts_d, jnp.tile(pts_d[-1:], (rem, 1))])
+        hd_d = jnp.concatenate([hd_d, jnp.tile(hd_d[-1:], (rem,))])
+    n_render = pts_d.shape[0]
+    if n_render <= TRAIN_CHUNK_VIEWS:
+        return pack_library(render_many(landscape, pts_d, hd_d)[:n])
     views = jnp.concatenate(
         [
             render_many(
@@ -49,8 +74,8 @@ def train_library(
                 pts_d[i : i + TRAIN_CHUNK_VIEWS],
                 hd_d[i : i + TRAIN_CHUNK_VIEWS],
             )
-            for i in range(0, n, TRAIN_CHUNK_VIEWS)
+            for i in range(0, n_render, TRAIN_CHUNK_VIEWS)
         ],
         axis=0,
     )
-    return pack_library(views)
+    return pack_library(views[:n])

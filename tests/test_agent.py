@@ -193,3 +193,28 @@ def test_train_library_chunking_equivalence(trained, small_cfg_module, monkeypat
     np.testing.assert_array_equal(
         np.asarray(lib_chunked.views), np.asarray(lib.views)
     )
+
+
+def test_train_library_pad_views_equivalence(trained, small_cfg_module, monkeypatch):
+    """pad_views_to renders extra (repeated) poses and slices back — the
+    returned library is identical to the unpadded capture, for both the
+    single-launch and chunked paths (sweep lib_bucket reuses the capture
+    compile through this)."""
+    import navdv_tpu.training as training
+
+    landscape, route, lib, _ = trained
+    lib_pad = training.train_library(
+        jnp.asarray(landscape), route, small_cfg_module, pad_views_to=64
+    )
+    assert lib_pad.views.shape == lib.views.shape
+    np.testing.assert_array_equal(np.asarray(lib_pad.views), np.asarray(lib.views))
+    np.testing.assert_array_equal(np.asarray(lib_pad.valid), np.asarray(lib.valid))
+
+    monkeypatch.setattr(training, "TRAIN_CHUNK_VIEWS", 4)  # padded + chunked
+    lib_pad_chunked = training.train_library(
+        jnp.asarray(landscape), route, small_cfg_module, pad_views_to=6
+    )
+    assert lib_pad_chunked.views.shape == lib.views.shape
+    np.testing.assert_array_equal(
+        np.asarray(lib_pad_chunked.views), np.asarray(lib.views)
+    )

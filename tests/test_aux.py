@@ -78,3 +78,28 @@ def test_distributed_init_single_host():
     init_distributed()  # must be a safe no-op on one host
     mesh = global_mesh(n_lib=2)
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_persistent_compile_cache_writes_and_hits(tmp_path):
+    """enable_persistent_cache persists compiled executables to disk
+    (SURVEY.md §3.5: per-cell-shape compiles; the cache removes them across
+    processes). In-process we can only assert the cache dir fills; the
+    cross-process hit is the measured artifact (artifacts/bucket_sweep)."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.utils.compile_cache import enable_persistent_cache
+
+    d = enable_persistent_cache(str(tmp_path / "cc"), min_compile_time_s=0.0)
+    try:
+
+        @jax.jit
+        def f(x):
+            return (x * 2.0 + 1.0).sum()
+
+        jax.block_until_ready(f(jnp.arange(128.0)))
+        import os
+
+        files = os.listdir(d)
+        assert files, "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -174,6 +174,66 @@ def test_auto_impl_resolution(small_cfg):
     assert choose_fam_impl(small_dense) == "jnp"
 
 
+def test_lib_bucket_equivalence(small_cfg, small_world):
+    """Padding the library to a bucketed shape must not change any cell
+    result: padded views carry +PAD_PENALTY distance and never win the min
+    (SURVEY.md §7 hard-part 3 mitigation)."""
+    landscape, route = small_world
+    base = run_cell(landscape, route, small_cfg, n_trials=8, seed=0)
+    bucketed = run_cell(landscape, route, small_cfg, n_trials=8, seed=0,
+                        lib_bucket=64)
+    assert int(bucketed["n_library_padded"]) % 64 == 0
+    assert int(bucketed["n_library_views"]) == int(base["n_library_views"])
+    assert int(bucketed["n_library_padded"]) > int(bucketed["n_library_views"])
+    for k in ("success_rate", "mean_steps", "mean_path_error",
+              "max_path_error"):
+        np.testing.assert_array_equal(base[k], bucketed[k], err_msg=k)
+    np.testing.assert_array_equal(base["status_counts"],
+                                  bucketed["status_counts"])
+
+
+def test_lib_bucket_shares_one_navigate_fn(small_cfg, small_world):
+    """Cells differing only in capture_spacing hit one nav-cache entry (and
+    therefore one XLA compilation, since the bucketed shapes match)."""
+    import dataclasses
+
+    landscape, route = small_world
+    cache: dict = {}
+    spacings = (1.0, 1.5, 2.0)
+    nl_seen = set()
+    for sp in spacings:
+        cfg = dataclasses.replace(small_cfg, capture_spacing=sp)
+        res = run_cell(landscape, route, cfg, n_trials=4, seed=0,
+                       lib_bucket=64, nav_cache=cache)
+        nl_seen.add(int(res["n_library_views"]))
+        assert int(res["n_library_padded"]) == 64
+    assert len(nl_seen) == len(spacings)  # the cells genuinely differ
+    assert len(cache) == 1, list(cache)
+
+
+def test_sweep_lib_bucket_end_to_end(small_world, tmp_path):
+    """A bucketed sweep produces the same per-cell results as the unbucketed
+    sweep, and records the padded shapes."""
+    landscape, route = small_world
+    spec = _tiny_spec()
+    spec_b = SweepSpec(**{**dataclasses_asdict_shallow(spec), "lib_bucket": 32})
+    r0 = run_sweep(landscape, route, spec, str(tmp_path / "plain"),
+                   verbose=False, tensorboard=False)
+    r1 = run_sweep(landscape, route, spec_b, str(tmp_path / "bucketed"),
+                   verbose=False, tensorboard=False)
+    assert set(r0) == set(r1)
+    for k in r0:
+        np.testing.assert_array_equal(r0[k]["success_rate"],
+                                      r1[k]["success_rate"], err_msg=k)
+        assert int(r1[k]["n_library_padded"]) % 32 == 0
+
+
+def dataclasses_asdict_shallow(spec):
+    import dataclasses
+
+    return {f.name: getattr(spec, f.name) for f in dataclasses.fields(spec)}
+
+
 def test_run_cell_auto_with_recall_check(small_cfg, small_world):
     """Auto-resolved cells record the resolved impl and, with
     recall_check_trials, a per-cell jnp cross-check of recall."""
