@@ -37,13 +37,16 @@ def run_one(views: int, impl: str) -> dict:
     )
     from navdv_tpu.metrics import success_rate
 
-    # route length keeps the 8000-view envelope's capture density
-    # (8000 views at route 160 -> spacing ~0.026 px)
-    route_length = 160.0 * views / 8000.0
-    size = 2048
-    n_features = int(150 * (size / 512) ** 2)
-    landscape, route = _world(route_length, size=size, kind="blobs",
-                              n_features=n_features, feature_scale=512.0)
+    # Route length scales with Nl up to the 8000-view envelope's 160, then
+    # CAPS there: a first attempt scaled the route to 640 px (2048^2 world)
+    # for 32k views and recall collapsed to 0.02 — 16x-longer routes make the
+    # TASK unsolvable (perceptual aliasing between distant route segments),
+    # conflating task difficulty with the memory axis this envelope isolates.
+    # Past 8000 views the library just gets denser on the same solvable
+    # route/world as the committed envelope.
+    route_length = min(160.0 * views / 8000.0, 160.0)
+    size = 512
+    landscape, route = _world(route_length, size=size)
     arc = float(np.hypot(*np.diff(route, axis=0).T).sum())
     cfg = SimConfig(
         sensor=SensorConfig(n_azimuth=72, n_radial=16, az_upsample=5),
@@ -102,6 +105,7 @@ def main():
                 except Exception as e:  # record the wall, don't die
                     r = {"views": views, "impl": impl,
                          "error": f"{type(e).__name__}: {str(e)[:300]}"}
+                r["attempt"] = 2
                 print(json.dumps(r), flush=True)
                 f.write(json.dumps(r) + "\n")
                 f.flush()
