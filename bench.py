@@ -18,7 +18,7 @@ return before execution finishes, so every timed call is synced by pulling the
 scalar success rate to the host (which transitively awaits the episode).
 
 Usage: python bench.py [--config N] [--batch B] [--steps T] [--views V]
-                       [--impl jnp|fft|roll|conv|pallas] [--all]
+                       [--impl jnp|fft|roll|conv|pallas|infomax] [--all]
 """
 
 from __future__ import annotations
@@ -518,7 +518,7 @@ def main() -> None:
                     help="sine route length; 40 -> ~51 px arc (spec), "
                          "200 -> ~257 px arc (dense round-1 variants)")
     ap.add_argument("--impl", default="default",
-                    help="jnp|fft|roll|conv|pallas (default: fastest per config)")
+                    help="jnp|fft|roll|conv|pallas|infomax (default: fastest per config)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed episode repeats (min is reported)")
     ap.add_argument("--land-kind", default="blobs",

@@ -12,6 +12,7 @@ Status codes: 0 = running/budget, 1 = reached, 2 = diverged, 3 = off-landscape.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -176,9 +177,17 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
     p = float(cfg.sensor.n_pixels)
     prec = matmul_precision(cfg.scan.matmul_precision)
 
+    if fam_impl == "infomax":
+        # learned-memory model (familiarity_infomax.py): same extraction
+        # front-end, but scores against trained Infomax weights (the aux,
+        # built in the prepare-once stage) instead of the stored library
+        from navdv_tpu.familiarity_infomax import make_lib_min_infomax
+
+        return make_lib_min_infomax(cfg.sensor, cfg.scan)
+
     if fam_impl == "jnp":
         if cfg.scan.metric == "ssd":
-            def lib_min(cand, lib, lag_sum, lag_sq):
+            def lib_min(cand, lib, lag_sum, lag_sq, aux=None):
                 pen = (1.0 - lib.valid) * PAD_PENALTY
                 cross = jnp.einsum(
                     "blp,vp->blv", cand, lib.flat, precision=prec
@@ -186,7 +195,7 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
                 d = lag_sq[:, :, None] + (lib.sq + pen)[None, None, :] - 2.0 * cross
                 return jnp.min(jnp.maximum(d, 0.0), axis=2)
         elif cfg.scan.metric == "ncc":
-            def lib_min(cand, lib, lag_sum, lag_sq):
+            def lib_min(cand, lib, lag_sum, lag_sq, aux=None):
                 pen = (1.0 - lib.valid) * PAD_PENALTY
                 cross = jnp.einsum("blp,vp->blv", cand, lib.z, precision=prec)
                 mu = lag_sum / p
@@ -205,7 +214,7 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
 
         inner = make_lib_min_pallas(cfg.sensor, cfg.scan)
 
-        def lib_min(cand, lib, lag_sum, lag_sq):
+        def lib_min(cand, lib, lag_sum, lag_sq, aux=None):
             return inner(cand, lib)
 
         return lib_min
@@ -246,6 +255,12 @@ def make_step_batched(
         ("fft", "spectral_cutoff", cfg.scan.spectral_cutoff > 0),
         ("fft", "fused_dft_precision",
          cfg.scan.fused_dft_precision != "off"),
+    ) + tuple(
+        # non-default infomax training knobs (defaults read from the
+        # dataclass so the sentinel can't drift from config.py)
+        ("infomax", f.name, getattr(cfg.scan, f.name) != f.default)
+        for f in dataclasses.fields(type(cfg.scan))
+        if f.name.startswith("infomax_")
     )
     for knob_impl, knob, is_set in _impl_knobs:
         if is_set and fam_impl != knob_impl:
@@ -257,6 +272,15 @@ def make_step_batched(
                 f"fam_impl={knob_impl!r}",
                 stacklevel=2,
             )
+    if fam_impl == "infomax" and cfg.scan.metric != "ssd":
+        import warnings
+
+        warnings.warn(
+            f"ScanConfig.metric={cfg.scan.metric!r} is ignored with "
+            f"fam_impl='infomax': the learned novelty readout replaces the "
+            f"image-distance metric entirely (familiarity_infomax.py)",
+            stacklevel=2,
+        )
     # the sector renderer's roll absorption is spectral-domain only: non-fft
     # impls fall back to the (numerically equivalent) full-window renderer
     sector = cfg.sensor.render_mode == "sector" and fam_impl == "fft"
@@ -416,12 +440,12 @@ def make_step_batched(
     ]
     window_idx_dev = jnp.asarray(window_idx)  # [Nh, 2t+1]
 
-    def step(states: AgentState, st: EpisodeStatics):
+    def step(states: AgentState, st: EpisodeStatics, aux=None):
         pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
         s = pooled(pano)  # [B, R, A]
         lag_sum, lag_sq = lag_stats(s)  # [B, L] each
         parts = [
-            lib_min(v(s), st.lib, lag_sum[:, lo:hi], lag_sq[:, lo:hi])
+            lib_min(v(s), st.lib, lag_sum[:, lo:hi], lag_sq[:, lo:hi], aux)
             for lo, hi, v in chunk_views
         ]
         m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # [B, L]
@@ -432,6 +456,9 @@ def make_step_batched(
         fam = jnp.min(m[:, window_idx_dev], axis=2)  # [B, Nh]
         return decide(states, fam, st)
 
+    lm_prepare = getattr(lib_min, "prepare", None)
+    if lm_prepare is not None:  # infomax: train the network once per library
+        step.lib_prepare = lambda st: lm_prepare(st.lib)
     return step
 
 
@@ -440,21 +467,24 @@ def make_step(cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
     (parity tests / debugging; the production path is make_step_batched)."""
     batched = make_step_batched(cfg, fam_impl, lib_axis)
 
-    def step(state: AgentState, st: EpisodeStatics):
+    def step(state: AgentState, st: EpisodeStatics, aux=None):
         states = jax.tree.map(lambda x: x[None], state)
-        out, rec = batched(states, st)
+        out, rec = batched(states, st, aux)
         return jax.tree.map(lambda x: x[0], out), jax.tree.map(lambda x: x[0], rec)
 
+    step.lib_prepare = getattr(batched, "lib_prepare", None)
     return step
 
 
 def make_navigate(cfg: SimConfig, fam_impl: str = "jnp"):
     """Jitted single episode ``(state0, statics) -> (final_state, StepRecord[T])``."""
     step = make_step(cfg, fam_impl)
+    lib_prepare = step.lib_prepare
 
     def navigate(state0: AgentState, st: EpisodeStatics):
+        aux = None if lib_prepare is None else lib_prepare(st)
         return jax.lax.scan(
-            lambda s, _: step(s, st), state0, None, length=cfg.agent.max_steps
+            lambda s, _: step(s, st, aux), state0, None, length=cfg.agent.max_steps
         )
 
     return jax.jit(navigate)

@@ -22,7 +22,7 @@ def _add_world_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--route", default="sine", choices=["line", "sine"])
     p.add_argument("--route-length", type=float, default=200.0)
     p.add_argument("--impl", default="auto",
-                   choices=["auto", "jnp", "fft", "roll", "conv", "pallas"],
+                   choices=["auto", "jnp", "fft", "roll", "conv", "pallas", "infomax"],
                    help="familiarity impl; auto = measured per-workload "
                         "winner (config.choose_fam_impl), jnp = exact "
                         "reference numerics")

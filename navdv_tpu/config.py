@@ -176,6 +176,27 @@ class ScanConfig:
     # default — while the same knobs lose recall on the flat-valley blobs
     # bench world. Gate recall per workload before adopting.
     roll_rank: int = 0
+    # fam_impl="infomax" only: the LEARNED familiarity memory from the same
+    # literature as the perfect-memory model (Baddeley/Graham/Husbands/
+    # Philippides 2012's second model; Lulham et al. 2009 Infomax rule) —
+    # instead of min-distance over the stored library, a single-layer
+    # novelty network is trained on the (z-scored) library views and
+    # familiarity = mean |Wx| response. Memory is O(units x pixels),
+    # CONSTANT in library size — the complement to the measured Nl-
+    # proportional walls of the perfect-memory paths (artifacts/
+    # biglib_ext.jsonl). A different MODEL, not an equivalent impl: recall
+    # differs from perfect memory; always opt-in, never chosen by "auto".
+    # 0 units = n_pixels (the literature's default shape). eta=0.1 with
+    # epochs=0 = AUTO (~20*n_pixels total updates, familiarity_infomax.
+    # auto_epochs): the literature's single presentation at eta=0.01 is
+    # undertrained at these sensor scales — closed-loop recall has a sharp
+    # training-budget threshold near 10*P updates (measured 0.00/0.97/1.00
+    # at 100/189/400 epochs on the 61-view bench world; grid in
+    # artifacts/RESULTS.md), and AUTO sits 2x past the knee.
+    infomax_units: int = 0
+    infomax_eta: float = 0.1
+    infomax_epochs: int = 0
+    infomax_seed: int = 0
 
     def shifts(self) -> list[int]:
         """Candidate fine-bin shifts relative to the current heading."""

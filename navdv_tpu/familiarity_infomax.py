@@ -1,0 +1,133 @@
+"""Learned familiarity: Infomax novelty network (fam_impl="infomax").
+
+The scene-familiarity literature this framework implements (SURVEY.md §0.2
+[LIT]) has TWO memory models: the perfect-memory min-over-library the
+reference uses (every other fam_impl here), and a LEARNED single-layer
+"Infomax" novelty network (Baddeley, Graham, Husbands, Philippides 2012,
+PLoS Comput Biol 8(1):e1002336, their route-navigation model; training rule
+from Lulham, Bogacz, Vogt, O'Connell 2009). This module adds the learned
+model as a drop-in familiarity impl:
+
+  - training (once per library, in the prepare-once stage): each z-scored
+    library view x is presented to a weight matrix W[M, P]; with
+    h = Wx, y = tanh(h), the Infomax anti-Hebbian update is
+
+        dW = eta / P * (W - (y + h) (h^T W))
+
+    (the (y+h) outer (h^T W) factoring keeps the update O(M*P) instead of
+    the naive O(M^2 P)). Presented once per epoch in library order —
+    sequential by construction, so it runs as a lax.scan.
+  - scoring (per step): novelty d(x) = mean_i |(Wx)_i| over the M units,
+    computed for every candidate view as ONE MXU matmul [B*L, P] x [P, M];
+    the per-candidate z-score folds in algebraically exactly like the NCC
+    path (agent._make_lib_min): W zscore(x) = (Wx - mu_x * W1) / sigma_x.
+    Familiar views produce small responses; argmin over headings is
+    unchanged.
+
+Why it exists beyond parity: memory and per-step cost are O(M*P), CONSTANT
+in library size — the complement to the measured Nl-proportional walls of
+the perfect-memory paths (a 5.5 MB weight matrix replaces the 3.5 GB
+pre-rolled aux at 32k views; artifacts/biglib_ext.jsonl). It is a different
+MODEL (recall differs from perfect memory), so "auto" never selects it.
+
+Semantic choices frozen in SEMANTICS.md §9: z-scored inputs, normal(0, 1/P)
+init, eta/P scaling, library presentation order, mean-|h| readout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from navdv_tpu.familiarity import NCC_EPS, LibraryPack, matmul_precision
+
+
+class InfomaxPack(NamedTuple):
+    """Trained novelty network: the prepare-once aux for fam_impl="infomax".
+
+    w:    f32[M, P] trained weights
+    wsum: f32[M]    per-unit weight sums (folds the candidate z-score into
+                    the scoring matmul algebraically)
+    """
+
+    w: jnp.ndarray
+    wsum: jnp.ndarray
+
+
+def auto_epochs(n_views: int, n_pixels: int) -> int:
+    """Epochs for ``infomax_epochs=0``: total updates ~ 20 * n_pixels.
+
+    Measured (512^2 blobs bench world, P=1152, Nl=61, eta=0.1): closed-loop
+    recall has a sharp threshold near 10*P total updates (100 epochs -> 0.00,
+    189 -> 0.97, 400 -> 1.00); 20*P sits safely past the knee on both the
+    bench-scale and the 128^2 test worlds (artifacts/infomax_grid.jsonl).
+    Dense libraries (Nl >= 20*P, e.g. the >=16k-view envelope) need just one
+    pass, so training cost stays bounded at ~max(Nl, 20*P) updates."""
+    return max(1, min(1000, -(-20 * n_pixels // max(1, n_views))))
+
+
+def train_infomax(
+    lib: LibraryPack,
+    n_units: int,
+    eta: float,
+    epochs: int,
+    seed: int,
+) -> InfomaxPack:
+    """Train W on the library's z-scored views (jittable; lax.scan over the
+    inherently sequential per-view updates). Padded views (valid=0) are
+    presented with a zero-masked update, so bucketed/sharded-shape libraries
+    train identically to unpadded ones. ``epochs=0`` -> :func:`auto_epochs`."""
+    z = lib.z.astype(jnp.float32)  # [Nl, P]
+    p = z.shape[1]
+    if epochs == 0:
+        epochs = auto_epochs(z.shape[0], p)
+    key = jax.random.PRNGKey(seed)
+    w0 = jax.random.normal(key, (n_units, p), jnp.float32) / jnp.sqrt(
+        jnp.asarray(p, jnp.float32)
+    )
+    scale = eta / p
+
+    def update(w, zv):
+        zvec, valid = zv
+        h = w @ zvec  # [M]
+        hw = h @ w  # [P] == h^T W
+        dw = scale * (w - (jnp.tanh(h) + h)[:, None] * hw[None, :])
+        return w + valid * dw, None
+
+    def epoch(w, _):
+        w, _ = jax.lax.scan(update, w, (z, lib.valid))
+        return w, None
+
+    w, _ = jax.lax.scan(epoch, w0, None, length=epochs)
+    return InfomaxPack(w=w, wsum=jnp.sum(w, axis=1))
+
+
+def make_lib_min_infomax(sensor_cfg, scan_cfg):
+    """Scorer with the extraction-path lib_min signature
+    ``(cand f32[B,L,P], lib, lag_sum f32[B,L], lag_sq f32[B,L], aux) ->
+    novelty f32[B,L]`` plus a ``.prepare(lib) -> InfomaxPack`` stage."""
+    p = float(sensor_cfg.n_pixels)
+    m_units = scan_cfg.infomax_units or sensor_cfg.n_pixels
+    prec = matmul_precision(scan_cfg.matmul_precision)
+
+    def prepare(lib: LibraryPack) -> InfomaxPack:
+        return train_infomax(
+            lib,
+            n_units=m_units,
+            eta=scan_cfg.infomax_eta,
+            epochs=scan_cfg.infomax_epochs,
+            seed=scan_cfg.infomax_seed,
+        )
+
+    def lib_min(cand, lib, lag_sum, lag_sq, aux: InfomaxPack):
+        mu = lag_sum / p  # [B, L]
+        var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
+        sigma = jnp.sqrt(var + NCC_EPS)
+        wx = jnp.einsum("blp,mp->blm", cand, aux.w, precision=prec)
+        h = (wx - mu[:, :, None] * aux.wsum[None, None, :]) / sigma[:, :, None]
+        return jnp.mean(jnp.abs(h), axis=2)
+
+    lib_min.prepare = prepare
+    return lib_min

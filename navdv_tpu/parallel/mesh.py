@@ -145,6 +145,14 @@ def make_navigate_sharded(
     stage.
     """
     lib_axis = LIB_AXIS if shard_lib and mesh.shape[LIB_AXIS] > 1 else None
+    if fam_impl == "infomax" and lib_axis is not None:
+        raise ValueError(
+            "fam_impl='infomax' cannot shard the library axis: the Infomax "
+            "network trains sequentially over ALL library views, so a "
+            "per-shard prepare would silently train on a fraction of them. "
+            "Use shard_lib=False (the learned memory is O(units x pixels), "
+            "constant in library size — sharding it buys nothing)."
+        )
     navigate_local = make_navigate_batch_fn(cfg, fam_impl=fam_impl, lib_axis=lib_axis)
     st_specs = _statics_specs(shard_lib=lib_axis is not None)
     nav_out_specs = (_state_specs(), _record_specs())

@@ -1,0 +1,133 @@
+"""Learned familiarity (fam_impl="infomax", SEMANTICS.md §9): the Infomax
+novelty network trains on the library and supports closed-loop route recall.
+
+A different MODEL than perfect memory (Baddeley et al. 2012's second model),
+so there is no numeric-parity oracle; the tests assert the model's own
+contracts: trained-view suppression, rotation discrimination, closed-loop
+recall, pad-invariant training, and the prepare-once plumbing."""
+
+import dataclasses
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navdv_tpu.agent import (
+    STATUS_REACHED,
+    init_state,
+    make_navigate,
+    make_navigate_batch,
+    make_statics,
+    make_step_batched,
+)
+from navdv_tpu.config import ScanConfig
+from navdv_tpu.familiarity import zscore
+from navdv_tpu.familiarity_infomax import train_infomax
+from navdv_tpu.training import train_library
+
+
+def _info_cfg(small_cfg, **knobs):
+    return dataclasses.replace(
+        small_cfg, scan=dataclasses.replace(small_cfg.scan, **knobs)
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(small_cfg, small_world):
+    landscape, route = small_world
+    lib = train_library(jnp.asarray(landscape), route, small_cfg)
+    return landscape, route, lib
+
+
+def _novelty(pack, views):
+    z = zscore(jnp.asarray(views))
+    return np.asarray(jnp.mean(jnp.abs(z @ pack.w.T), axis=1))
+
+
+def test_training_suppresses_trained_views(trained, rng):
+    _, _, lib = trained
+    pack = train_infomax(lib, n_units=lib.flat.shape[1], eta=0.1, epochs=10, seed=0)
+    on_route = _novelty(pack, lib.flat)
+    novel = _novelty(pack, rng.random(lib.flat.shape).astype(np.float32))
+    # every trained view scores more familiar than every random view
+    assert on_route.max() < novel.min()
+
+
+def test_rotation_discrimination(trained):
+    """A half-panorama rotation of a trained view must read as less familiar
+    than the view itself — the property navigation rests on."""
+    _, _, lib = trained
+    pack = train_infomax(lib, n_units=lib.flat.shape[1], eta=0.1, epochs=10, seed=0)
+    n_r = 4  # small_cfg sensor rows
+    views = np.asarray(lib.flat).reshape(lib.flat.shape[0], n_r, -1)
+    rotated = np.roll(views, views.shape[2] // 2, axis=2).reshape(lib.flat.shape)
+    assert _novelty(pack, lib.flat).mean() < _novelty(pack, rotated).mean()
+
+
+def test_closed_loop_recall_single_agent(small_cfg, trained):
+    """make_navigate (single-agent path) must run the prepare stage itself."""
+    landscape, route, lib = trained
+    cfg = _info_cfg(small_cfg)
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    from navdv_tpu.oracle import resample_route
+
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    final, _ = make_navigate(cfg, fam_impl="infomax")(
+        init_state(pts[0], headings[0]), st
+    )
+    assert int(final.status) == STATUS_REACHED
+
+
+def test_prepare_once_batched_matches_inline(small_cfg, trained):
+    """navigate(states, st) == navigate(states, st, aux=prepare(st))."""
+    landscape, route, lib = trained
+    cfg = _info_cfg(small_cfg)
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    from navdv_tpu.oracle import resample_route
+
+    pts, headings = resample_route(route, cfg.capture_spacing)
+    states = init_state(jnp.asarray(pts[:4]), jnp.asarray(headings[:4]))
+    run = make_navigate_batch(cfg, fam_impl="infomax")
+    aux = run.prepare(st)
+    f_inline, _ = run(states, st)
+    f_prep, _ = run(states, st, aux)
+    np.testing.assert_array_equal(np.asarray(f_inline.xy), np.asarray(f_prep.xy))
+    np.testing.assert_array_equal(
+        np.asarray(f_inline.status), np.asarray(f_prep.status)
+    )
+
+
+def test_padded_library_trains_identically(trained):
+    """valid=0 rows are zero-masked updates: padding Nl must not change W."""
+    _, _, lib = trained
+    n, p = lib.flat.shape
+    pad = 7
+    padded = lib._replace(
+        views=jnp.concatenate([lib.views, jnp.zeros((pad, *lib.views.shape[1:]))]),
+        flat=jnp.concatenate([lib.flat, jnp.ones((pad, p))]),
+        sq=jnp.concatenate([lib.sq, jnp.zeros(pad)]),
+        z=jnp.concatenate([lib.z, jnp.ones((pad, p))]),
+        valid=jnp.concatenate([lib.valid, jnp.zeros(pad)]),
+    )
+    w_ref = train_infomax(lib, n_units=32, eta=0.1, epochs=3, seed=1).w
+    w_pad = train_infomax(padded, n_units=32, eta=0.1, epochs=3, seed=1).w
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_pad))
+
+
+def test_knob_warnings(small_cfg):
+    with pytest.warns(UserWarning, match="infomax_eta"):
+        make_step_batched(_info_cfg(small_cfg, infomax_eta=0.5), fam_impl="jnp")
+    with pytest.warns(UserWarning, match="metric"):
+        make_step_batched(_info_cfg(small_cfg, metric="ncc"), fam_impl="infomax")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # defaults must not warn
+        make_step_batched(_info_cfg(small_cfg), fam_impl="infomax")
+
+
+def test_sharded_lib_axis_raises(small_cfg):
+    from navdv_tpu.parallel.mesh import make_mesh, make_navigate_sharded
+
+    mesh = make_mesh(n_data=2, n_lib=4)
+    with pytest.raises(ValueError, match="infomax"):
+        make_navigate_sharded(small_cfg, mesh, fam_impl="infomax", shard_lib=True)
