@@ -64,7 +64,12 @@ def auto_epochs(n_views: int, n_pixels: int) -> int:
     189 -> 0.97, 400 -> 1.00); 20*P sits safely past the knee on both the
     bench-scale and the 128^2 test worlds (artifacts/infomax_grid.jsonl).
     Dense libraries (Nl >= 20*P, e.g. the >=16k-view envelope) need just one
-    pass, so training cost stays bounded at ~max(Nl, 20*P) updates."""
+    pass, so training cost stays bounded at ~max(Nl, 20*P) updates.
+
+    ``n_views`` is the SHAPE count (static at trace time), so shape-padded
+    libraries pick slightly fewer epochs than their valid count implies —
+    bucket padding is a small fraction of Nl and the 2x knee margin absorbs
+    it. Explicit ``infomax_epochs`` overrides if a library is mostly pad."""
     return max(1, min(1000, -(-20 * n_pixels // max(1, n_views))))
 
 
