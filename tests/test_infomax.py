@@ -125,6 +125,27 @@ def test_knob_warnings(small_cfg):
         make_step_batched(_info_cfg(small_cfg), fam_impl="infomax")
 
 
+def test_sweep_cell_runs_infomax(small_cfg, small_world):
+    """run_cell routes prepare-once through the learned model (the sweep's
+    getattr(nav, "prepare") path) and yields a sane success rate."""
+    from navdv_tpu.sweep import run_cell
+
+    landscape, route = small_world
+    res = run_cell(landscape, route, small_cfg, n_trials=4, seed=0,
+                   fam_impl="infomax")
+    assert 0.0 <= float(res["success_rate"]) <= 1.0
+    assert res["status_counts"].sum() == 4
+
+
+def test_simulator_facade_infomax(small_cfg, small_world):
+    from navdv_tpu.simulator import NavigationSimulator
+
+    landscape, route = small_world
+    sim = NavigationSimulator(small_cfg, landscape, route, fam_impl="infomax")
+    out = sim.train().navigate(n_trials=4, seed=0)
+    assert out.success_rate >= 0.75  # the small world navigates (grid evidence)
+
+
 def test_sharded_lib_axis_raises(small_cfg):
     from navdv_tpu.parallel.mesh import make_mesh, make_navigate_sharded
 
