@@ -304,7 +304,7 @@ def make_step_batched(
 
         fam_conv = make_fam_conv(cfg.sensor, cfg.scan)
 
-        def step(states: AgentState, st: EpisodeStatics):
+        def step(states: AgentState, st: EpisodeStatics, aux=None):
             pano = render_b(st.landscape, states.xy, states.theta)
             fam = fam_conv(pano, st.lib)
             if lib_axis is not None:
