@@ -284,7 +284,15 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         floor = max(0.0, rate_ref - ACCURACY_BAND[config_n])
         result["exact_recall_ref"] = round(rate_ref, 4)
         result["recall_floor"] = round(floor, 4)
-        result["ok"] = bool(rate >= floor)
+        if impl == "infomax":
+            # a different MODEL (SEMANTICS.md §9), not an impl of the
+            # perfect-memory metric: its recall legitimately differs from
+            # the jnp reference, so an ok verdict against that floor would
+            # conflate model choice with an accuracy regression. The
+            # reference and floor stay on the line for comparison.
+            result["gate"] = "skipped: infomax is a different memory model"
+        else:
+            result["ok"] = bool(rate >= floor)
     return result
 
 

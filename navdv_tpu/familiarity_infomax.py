@@ -64,13 +64,17 @@ def auto_epochs(n_views: int, n_pixels: int) -> int:
     189 -> 0.97, 400 -> 1.00); 20*P sits safely past the knee on both the
     bench-scale and the 128^2 test worlds (artifacts/infomax_grid.jsonl).
     Dense libraries (Nl >= 20*P, e.g. the >=16k-view envelope) need just one
-    pass, so training cost stays bounded at ~max(Nl, 20*P) updates.
+    pass, so training cost stays bounded at ~max(Nl, 20*P) updates — no
+    upper clamp is needed: epochs * Nl ~ 20*P regardless of how small Nl is,
+    so a tiny library just reruns its few views more times at the same total
+    cost (a clamp here would silently land small-Nl configs under the knee).
 
-    ``n_views`` is the SHAPE count (static at trace time), so shape-padded
-    libraries pick slightly fewer epochs than their valid count implies —
-    bucket padding is a small fraction of Nl and the 2x knee margin absorbs
-    it. Explicit ``infomax_epochs`` overrides if a library is mostly pad."""
-    return max(1, min(1000, -(-20 * n_pixels // max(1, n_views))))
+    ``n_views`` should be the VALID view count where the caller knows it:
+    shape-padded libraries (sweep bucketing, lib sharding) contribute
+    zero-masked updates for pad rows, so sizing epochs from the padded shape
+    undertrains by the pad fraction. train_infomax only has the padded
+    shape; sweep.run_cell passes the true count via infomax_epochs."""
+    return max(1, -(-20 * n_pixels // max(1, n_views)))
 
 
 def train_infomax(
@@ -127,6 +131,13 @@ def make_lib_min_infomax(sensor_cfg, scan_cfg):
         )
 
     def lib_min(cand, lib, lag_sum, lag_sq, aux: InfomaxPack):
+        if aux is None:
+            raise ValueError(
+                "fam_impl='infomax' needs its trained network: call "
+                "step.lib_prepare(statics) (or navigate.prepare) once per "
+                "library and pass the result as aux — make_navigate_batch/"
+                "make_navigate do this automatically"
+            )
         mu = lag_sum / p  # [B, L]
         var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
         sigma = jnp.sqrt(var + NCC_EPS)

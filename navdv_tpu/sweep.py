@@ -161,6 +161,22 @@ def run_cell(
         from navdv_tpu.parallel.mesh import pad_library
 
         lib = pad_library(lib, lib_bucket)
+    if fam_impl == "infomax" and cfg.scan.infomax_epochs == 0:
+        # resolve AUTO epochs from the TRUE view count here: train_infomax
+        # only sees the bucket-padded shape, and pad rows are zero-masked
+        # updates — sizing from the padded shape would undertrain small
+        # cells below the measured recall knee (familiarity_infomax.
+        # auto_epochs). Note this keys the nav cache on epochs, so only
+        # cells with equal resolved epochs share a compilation.
+        from navdv_tpu.familiarity_infomax import auto_epochs
+
+        cfg = dataclasses.replace(
+            cfg,
+            scan=dataclasses.replace(
+                cfg.scan,
+                infomax_epochs=auto_epochs(n_views_true, cfg.sensor.n_pixels),
+            ),
+        )
     st = make_statics(land_dev, lib, route)
     starts, thetas = make_trials(
         route, cfg, n_trials, seed=seed, start_anywhere=start_anywhere

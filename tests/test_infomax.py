@@ -125,6 +125,42 @@ def test_knob_warnings(small_cfg):
         make_step_batched(_info_cfg(small_cfg), fam_impl="infomax")
 
 
+def test_auto_epochs_total_updates_invariant():
+    """AUTO targets ~20*P total updates with no upper clamp: tiny libraries
+    rerun their views more times at the same bounded total cost."""
+    from navdv_tpu.familiarity_infomax import auto_epochs
+
+    p = 1152
+    for nl in (1, 8, 61, 500, 16000, 64000):
+        e = auto_epochs(nl, p)
+        assert e * nl >= 20 * p or e == 1  # dense libs: one pass suffices
+        assert e * nl <= 20 * p + nl  # ...and never more than one extra pass
+    assert auto_epochs(64000, p) == 1
+
+
+def test_step_without_prepare_raises_clearly(small_cfg, trained):
+    landscape, route, lib = trained
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    step = make_step_batched(small_cfg, fam_impl="infomax")
+    states = init_state(jnp.zeros((2, 2)), jnp.zeros(2))
+    with pytest.raises(ValueError, match="lib_prepare"):
+        step(states, st)
+
+
+def test_sweep_bucketed_infomax_epochs_from_true_count(small_cfg, small_world):
+    """Bucket padding must not starve AUTO training: a padded cell reaches
+    the same success as the unpadded one (epochs sized from valid views)."""
+    from navdv_tpu.sweep import run_cell
+
+    landscape, route = small_world
+    r_plain = run_cell(landscape, route, small_cfg, n_trials=4, seed=0,
+                       fam_impl="infomax")
+    r_bucket = run_cell(landscape, route, small_cfg, n_trials=4, seed=0,
+                        fam_impl="infomax", lib_bucket=64)
+    assert int(r_bucket["n_library_padded"]) > int(r_bucket["n_library_views"])
+    assert float(r_bucket["success_rate"]) >= float(r_plain["success_rate"])
+
+
 def test_sweep_cell_runs_infomax(small_cfg, small_world):
     """run_cell routes prepare-once through the learned model (the sweep's
     getattr(nav, "prepare") path) and yields a sane success rate."""
