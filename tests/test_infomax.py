@@ -188,3 +188,37 @@ def test_sharded_lib_axis_raises(small_cfg):
     mesh = make_mesh(n_data=2, n_lib=4)
     with pytest.raises(ValueError, match="infomax"):
         make_navigate_sharded(small_cfg, mesh, fam_impl="infomax", shard_lib=True)
+
+
+def test_data_parallel_sharding_matches_unsharded(small_cfg, trained):
+    """Data-parallel (shard_lib=False) infomax over the 8-device CPU mesh:
+    the trained network replicates and every agent's episode matches the
+    unsharded batched run bitwise (same impl, same shapes, no collectives
+    in the familiarity path)."""
+    from navdv_tpu.parallel.mesh import (
+        make_mesh,
+        make_navigate_sharded,
+        shard_statics,
+    )
+
+    landscape, route, lib = trained
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    from navdv_tpu.oracle import resample_route
+
+    pts, headings = resample_route(route, small_cfg.capture_spacing)
+    b = 8
+    rng = np.random.default_rng(2)
+    starts = pts[0][None, :] + rng.normal(0, 1.0, size=(b, 2))
+    thetas = headings[0] + rng.normal(0, 0.1, size=(b,))
+    states = init_state(jnp.asarray(starts, jnp.float32),
+                        jnp.asarray(thetas, jnp.float32))
+    want, _ = make_navigate_batch(small_cfg, fam_impl="infomax")(states, st)
+    mesh = make_mesh(n_data=8, n_lib=1)
+    st_sh = shard_statics(st, mesh, shard_lib=False)
+    nav = make_navigate_sharded(small_cfg, mesh, fam_impl="infomax",
+                                shard_lib=False)
+    got, _ = nav(states, st_sh)
+    np.testing.assert_array_equal(np.asarray(got.xy), np.asarray(want.xy))
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(want.status)
+    )
