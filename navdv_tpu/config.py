@@ -187,12 +187,12 @@ class ScanConfig:
     # biglib_ext.jsonl). A different MODEL, not an equivalent impl: recall
     # differs from perfect memory; always opt-in, never chosen by "auto".
     # 0 units = n_pixels (the literature's default shape). eta=0.1 with
-    # epochs=0 = AUTO (~20*n_pixels total updates, familiarity_infomax.
+    # epochs=0 = AUTO (~40*n_pixels total updates, familiarity_infomax.
     # auto_epochs): the literature's single presentation at eta=0.01 is
-    # undertrained at these sensor scales — closed-loop recall has a sharp
-    # training-budget threshold near 10*P updates (measured 0.00/0.97/1.00
-    # at 100/189/400 epochs on the 61-view bench world; grid in
-    # artifacts/RESULTS.md), and AUTO sits 2x past the knee.
+    # undertrained at these sensor scales — recall has a sharp onset knee
+    # near 10*P updates, a plateau from ~40*P, and an overtraining decline
+    # past ~80*P on some worlds (measured curves at auto_epochs and in
+    # artifacts/RESULTS.md); AUTO sits at the measured optimum.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0

@@ -57,24 +57,27 @@ class InfomaxPack(NamedTuple):
 
 
 def auto_epochs(n_views: int, n_pixels: int) -> int:
-    """Epochs for ``infomax_epochs=0``: total updates ~ 20 * n_pixels.
+    """Epochs for ``infomax_epochs=0``: total updates ~ 40 * n_pixels.
 
-    Measured (512^2 blobs bench world, P=1152, Nl=61, eta=0.1): closed-loop
-    recall has a sharp threshold near 10*P total updates (100 epochs -> 0.00,
-    189 -> 0.97, 400 -> 1.00); 20*P sits safely past the knee on both the
-    bench-scale and the 128^2 test worlds (artifacts/infomax_grid.jsonl).
-    Dense libraries (Nl >= 20*P, e.g. the >=16k-view envelope) need just one
-    pass, so training cost stays bounded at ~max(Nl, 20*P) updates — no
-    upper clamp is needed: epochs * Nl ~ 20*P regardless of how small Nl is,
-    so a tiny library just reruns its few views more times at the same total
-    cost (a clamp here would silently land small-Nl configs under the knee).
+    Measured at eta=0.1: closed-loop recall has a sharp onset knee near
+    10*P total updates (512^2 blobs world, P=1152, Nl=61: 0.00/0.97/1.00 at
+    100/189/400 epochs), a plateau from ~40*P (BASELINE config-1 workload
+    with noisy starts: 0.61 at 20*P, then 0.92 flat across 40/60/100*P), and
+    an OVERTRAINING decline on some worlds past it (128^2 noise world:
+    0.81/0.875/0.625 at 20/40/80*P — Infomax converges toward whitening,
+    which eventually erodes rotational discrimination). 40*P is the measured
+    cross-workload optimum. Dense libraries (Nl >= 40*P, e.g. the >=46k-view
+    envelope) need one pass, so training stays bounded at ~max(Nl, 40*P)
+    updates — no upper clamp: epochs * Nl is ~constant in Nl, so a tiny
+    library just reruns its few views more times at the same total cost
+    (a clamp here would silently land small-Nl configs under the knee).
 
     ``n_views`` should be the VALID view count where the caller knows it:
     shape-padded libraries (sweep bucketing, lib sharding) contribute
     zero-masked updates for pad rows, so sizing epochs from the padded shape
     undertrains by the pad fraction. train_infomax only has the padded
     shape; sweep.run_cell passes the true count via infomax_epochs."""
-    return max(1, -(-20 * n_pixels // max(1, n_views)))
+    return max(1, -(-40 * n_pixels // max(1, n_views)))
 
 
 def train_infomax(

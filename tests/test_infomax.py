@@ -126,15 +126,15 @@ def test_knob_warnings(small_cfg):
 
 
 def test_auto_epochs_total_updates_invariant():
-    """AUTO targets ~20*P total updates with no upper clamp: tiny libraries
+    """AUTO targets ~40*P total updates with no upper clamp: tiny libraries
     rerun their views more times at the same bounded total cost."""
     from navdv_tpu.familiarity_infomax import auto_epochs
 
     p = 1152
     for nl in (1, 8, 61, 500, 16000, 64000):
         e = auto_epochs(nl, p)
-        assert e * nl >= 20 * p or e == 1  # dense libs: one pass suffices
-        assert e * nl <= 20 * p + nl  # ...and never more than one extra pass
+        assert e * nl >= 40 * p or e == 1  # dense libs: one pass suffices
+        assert e * nl <= 40 * p + nl  # ...and never more than one extra pass
     assert auto_epochs(64000, p) == 1
 
 
