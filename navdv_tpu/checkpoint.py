@@ -42,3 +42,24 @@ def save_results(path: str, results: dict) -> None:
 def load_results(path: str) -> dict:
     with np.load(path, allow_pickle=False) as f:
         return {k: f[k] for k in f.files}
+
+
+def save_infomax(path: str, pack) -> None:
+    """Persist a trained Infomax network (familiarity_infomax.InfomaxPack).
+
+    Worth checkpointing where the library itself is not: at the large-library
+    scale the learned model exists for (SEMANTICS.md §9), retraining means
+    re-rendering tens of thousands of views, while the pack is a few MB."""
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, pack._asdict()))
+    ckpt.wait_until_finished()
+
+
+def load_infomax(path: str):
+    from navdv_tpu.familiarity_infomax import InfomaxPack
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    import jax.numpy as jnp
+
+    return InfomaxPack(**{k: jnp.asarray(v) for k, v in restored.items()})

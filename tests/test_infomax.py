@@ -222,3 +222,15 @@ def test_data_parallel_sharding_matches_unsharded(small_cfg, trained):
     np.testing.assert_array_equal(
         np.asarray(got.status), np.asarray(want.status)
     )
+
+
+def test_infomax_checkpoint_roundtrip(trained, tmp_path):
+    from navdv_tpu.checkpoint import load_infomax, save_infomax
+
+    _, _, lib = trained
+    pack = train_infomax(lib, n_units=16, eta=0.1, epochs=2, seed=0)
+    path = str(tmp_path / "infomax_ckpt")
+    save_infomax(path, pack)
+    back = load_infomax(path)
+    np.testing.assert_array_equal(np.asarray(pack.w), np.asarray(back.w))
+    np.testing.assert_array_equal(np.asarray(pack.wsum), np.asarray(back.wsum))
