@@ -234,3 +234,16 @@ def test_infomax_checkpoint_roundtrip(trained, tmp_path):
     back = load_infomax(path)
     np.testing.assert_array_equal(np.asarray(pack.w), np.asarray(back.w))
     np.testing.assert_array_equal(np.asarray(pack.wsum), np.asarray(back.wsum))
+
+
+def test_scoring_invariant_to_affine_intensity(trained):
+    """The z-score fold makes novelty invariant to per-view affine intensity
+    changes of the candidate (the same robustness NCC has, SEMANTICS.md §4) —
+    the behavioral reason z-scored inputs were chosen for the learned model."""
+    _, _, lib = trained
+    pack = train_infomax(lib, n_units=64, eta=0.1, epochs=5, seed=0)
+    views = jnp.asarray(lib.flat[:8])
+    dimmed = 0.6 * views + 0.2
+    np.testing.assert_allclose(
+        _novelty(pack, views), _novelty(pack, dimmed), rtol=2e-4, atol=2e-4
+    )
