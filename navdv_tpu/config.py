@@ -192,7 +192,12 @@ class ScanConfig:
     # undertrained at these sensor scales — recall has a sharp onset knee
     # near 10*P updates, a plateau from ~40*P, and an overtraining decline
     # past ~80*P on some worlds (measured curves at auto_epochs and in
-    # artifacts/RESULTS.md); AUTO sits at the measured optimum.
+    # artifacts/RESULTS.md); AUTO sits at the measured optimum. DENSITY
+    # CAUTION (artifacts/infomax_density.jsonl): infomax recall DECLINES
+    # with capture density (near-duplicate training views narrow the
+    # suppressed subspace and shrink the noise margin) — choose
+    # capture_spacing for the learned model; don't inherit a dense
+    # perfect-memory library.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0
