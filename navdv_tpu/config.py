@@ -197,7 +197,10 @@ class ScanConfig:
     # with capture density (near-duplicate training views narrow the
     # suppressed subspace and shrink the noise margin) — choose
     # capture_spacing for the learned model; don't inherit a dense
-    # perfect-memory library.
+    # perfect-memory library. WORLD CAUTION (artifacts/RESULTS.md): recall
+    # is world-dependent (blobs 1.00 / fractal 0.48 / noise 0.27 at AUTO on
+    # 512^2 worlds where perfect memory holds 0.94-1.00; no budget rescues
+    # the noise world past ~0.56) — gate recall per world before adopting.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0
