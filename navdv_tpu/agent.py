@@ -183,7 +183,7 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
         # built in the prepare-once stage) instead of the stored library
         from navdv_tpu.familiarity_infomax import make_lib_min_infomax
 
-        return make_lib_min_infomax(cfg.sensor, cfg.scan)
+        return make_lib_min_infomax(cfg.sensor, cfg.scan, cfg.capture_spacing)
 
     if fam_impl == "jnp":
         if cfg.scan.metric == "ssd":

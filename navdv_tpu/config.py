@@ -187,12 +187,12 @@ class ScanConfig:
     # biglib_ext.jsonl). A different MODEL, not an equivalent impl: recall
     # differs from perfect memory; always opt-in, never chosen by "auto".
     # 0 units = n_pixels (the literature's default shape). eta=0.1 with
-    # epochs=0 = AUTO (~40*n_pixels total updates, familiarity_infomax.
-    # auto_epochs): the literature's single presentation at eta=0.01 is
-    # undertrained at these sensor scales — recall has a sharp onset knee
-    # near 10*P updates, a plateau from ~40*P, and an overtraining decline
-    # past ~80*P on some worlds (measured curves at auto_epochs and in
-    # artifacts/RESULTS.md); AUTO sits at the measured optimum. DENSITY
+    # epochs=0 = AUTO (~0.8*n_pixels updates per arc-pixel of route,
+    # familiarity_infomax.auto_epochs): the literature's single presentation
+    # at eta=0.01 is undertrained at these sensor scales — the dose-response
+    # is knee -> plateau -> overtraining decline, and the optimum is
+    # invariant in updates per arc-pixel (0.78-1.0*P/px on every measured
+    # workload; curves at auto_epochs and in artifacts/RESULTS.md). DENSITY
     # CAUTION (artifacts/infomax_density.jsonl): infomax recall DECLINES
     # with capture density (near-duplicate training views narrow the
     # suppressed subspace and shrink the noise margin) — choose

@@ -56,27 +56,29 @@ class InfomaxPack(NamedTuple):
     wsum: jnp.ndarray
 
 
-def auto_epochs(n_views: int, n_pixels: int) -> int:
-    """Epochs for ``infomax_epochs=0``: total updates ~ 40 * n_pixels.
+def auto_epochs(
+    n_views: int, n_pixels: int, capture_spacing: float | None = None
+) -> int:
+    """Epochs for ``infomax_epochs=0``: ~0.8*P total updates per arc-PIXEL
+    of route, i.e. ``epochs = ceil(0.8 * P * capture_spacing)``.
 
-    Measured at eta=0.1: closed-loop recall has a sharp onset knee near
-    10*P total updates (512^2 blobs world, P=1152, Nl=61: 0.00/0.97/1.00 at
-    100/189/400 epochs), a plateau from ~40*P (BASELINE config-1 workload
-    with noisy starts: 0.61 at 20*P, then 0.92 flat across 40/60/100*P), and
-    an OVERTRAINING decline on some worlds past it (128^2 noise world:
-    0.81/0.875/0.625 at 20/40/80*P — Infomax converges toward whitening,
-    which eventually erodes rotational discrimination). 40*P is the measured
-    cross-workload optimum. Dense libraries (Nl >= 40*P, e.g. the >=46k-view
-    envelope) need one pass, so training stays bounded at ~max(Nl, 40*P)
-    updates — no upper clamp: epochs * Nl is ~constant in Nl, so a tiny
-    library just reruns its few views more times at the same total cost
-    (a clamp here would silently land small-Nl configs under the knee).
+    The dose-response is an onset knee -> plateau -> overtraining decline
+    (Infomax converges toward whitening, which eventually erodes rotational
+    discrimination), and the measured optimum is invariant NOT in total
+    updates but in updates per unit of unique route content (~arc pixels):
+    at eta=0.1 the peak sits at 0.78-1.0 * P updates/arc-px on every
+    measured workload — config-1 world (arc 51 px): plateau 40-100*P total;
+    biglib 1000-view dense cell (arc 26 px): sharp peak at 20*P total, 0.99
+    -> 0.15 by 40*P; 128^2 noise world (arc 40 px): peak at 40*P total. The
+    same rule fits dense and strided training on one workload (both 0.99 at
+    20*P on the biglib cell), so epochs scale with SPACING: denser capture
+    of the same route gets proportionally fewer epochs, and the total dose
+    ~0.8*P*arc is density- and shape-pad-invariant by construction.
 
-    ``n_views`` should be the VALID view count where the caller knows it:
-    shape-padded libraries (sweep bucketing, lib sharding) contribute
-    zero-masked updates for pad rows, so sizing epochs from the padded shape
-    undertrains by the pad fraction. train_infomax only has the padded
-    shape; sweep.run_cell passes the true count via infomax_epochs."""
+    ``capture_spacing=None`` falls back to 40*P total updates (the sparse-
+    capture plateau) for callers without route information."""
+    if capture_spacing is not None:
+        return max(1, -(-int(0.8 * n_pixels * capture_spacing * 1000) // 1000))
     return max(1, -(-40 * n_pixels // max(1, n_views)))
 
 
@@ -86,15 +88,17 @@ def train_infomax(
     eta: float,
     epochs: int,
     seed: int,
+    capture_spacing: float | None = None,
 ) -> InfomaxPack:
     """Train W on the library's z-scored views (jittable; lax.scan over the
     inherently sequential per-view updates). Padded views (valid=0) are
     presented with a zero-masked update, so bucketed/sharded-shape libraries
-    train identically to unpadded ones. ``epochs=0`` -> :func:`auto_epochs`."""
+    train identically to unpadded ones. ``epochs=0`` -> :func:`auto_epochs`
+    (with the capture spacing when the caller provides it)."""
     z = lib.z.astype(jnp.float32)  # [Nl, P]
     p = z.shape[1]
     if epochs == 0:
-        epochs = auto_epochs(z.shape[0], p)
+        epochs = auto_epochs(z.shape[0], p, capture_spacing)
     key = jax.random.PRNGKey(seed)
     w0 = jax.random.normal(key, (n_units, p), jnp.float32) / jnp.sqrt(
         jnp.asarray(p, jnp.float32)
@@ -116,10 +120,13 @@ def train_infomax(
     return InfomaxPack(w=w, wsum=jnp.sum(w, axis=1))
 
 
-def make_lib_min_infomax(sensor_cfg, scan_cfg):
+def make_lib_min_infomax(sensor_cfg, scan_cfg, capture_spacing=None):
     """Scorer with the extraction-path lib_min signature
     ``(cand f32[B,L,P], lib, lag_sum f32[B,L], lag_sq f32[B,L], aux) ->
-    novelty f32[B,L]`` plus a ``.prepare(lib) -> InfomaxPack`` stage."""
+    novelty f32[B,L]`` plus a ``.prepare(lib) -> InfomaxPack`` stage.
+
+    ``capture_spacing`` feeds the AUTO training budget (auto_epochs's
+    updates-per-arc-pixel rule) when ``infomax_epochs=0``."""
     p = float(sensor_cfg.n_pixels)
     m_units = scan_cfg.infomax_units or sensor_cfg.n_pixels
     prec = matmul_precision(scan_cfg.matmul_precision)
@@ -131,6 +138,7 @@ def make_lib_min_infomax(sensor_cfg, scan_cfg):
             eta=scan_cfg.infomax_eta,
             epochs=scan_cfg.infomax_epochs,
             seed=scan_cfg.infomax_seed,
+            capture_spacing=capture_spacing,
         )
 
     def lib_min(cand, lib, lag_sum, lag_sq, aux: InfomaxPack):

@@ -125,17 +125,24 @@ def test_knob_warnings(small_cfg):
         make_step_batched(_info_cfg(small_cfg), fam_impl="infomax")
 
 
-def test_auto_epochs_total_updates_invariant():
-    """AUTO targets ~40*P total updates with no upper clamp: tiny libraries
-    rerun their views more times at the same bounded total cost."""
+def test_auto_epochs_arc_rule():
+    """AUTO targets ~0.8*P updates per arc-pixel: total dose = epochs * Nl
+    ~ 0.8 * P * arc is invariant to capture density (denser libraries get
+    proportionally fewer epochs) and to shape padding (spacing can't pad)."""
     from navdv_tpu.familiarity_infomax import auto_epochs
 
     p = 1152
-    for nl in (1, 8, 61, 500, 16000, 64000):
-        e = auto_epochs(nl, p)
-        assert e * nl >= 40 * p or e == 1  # dense libs: one pass suffices
-        assert e * nl <= 40 * p + nl  # ...and never more than one extra pass
-    assert auto_epochs(64000, p) == 1
+    arc = 160.0
+    doses = []
+    for nl in (100, 1000, 16000, 64000):
+        spacing = arc / nl
+        e = auto_epochs(nl, p, spacing)
+        doses.append(e * nl)
+    target = 0.8 * p * arc
+    for d in doses:
+        assert target <= d <= target + 64000 * 1.01  # within one extra pass
+    # spacing-free fallback keeps the sparse-capture 40*P plateau
+    assert auto_epochs(61, p) * 61 >= 40 * p
 
 
 def test_step_without_prepare_raises_clearly(small_cfg, trained):
