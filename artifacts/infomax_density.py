@@ -47,7 +47,9 @@ def main():
             thetas = headings[0] + rng.normal(0, heading_sigma, (B,))
             s0 = init_state(starts, thetas)
             row = {"spacing": spacing, "views": int(lib.flat.shape[0]),
-                   "pos_sigma": pos_sigma, "heading_sigma": heading_sigma}
+                   "pos_sigma": pos_sigma, "heading_sigma": heading_sigma,
+                   "auto": "v2"}  # epochs = ceil(0.8*P*spacing); untagged
+                                  # rows were AUTO v1 (flat 40*P total)
             for impl in ("jnp", "infomax"):
                 run = make_navigate_batch(cfg, fam_impl=impl)
                 aux = run.prepare(st) if run.prepare is not None else None
