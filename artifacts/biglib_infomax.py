@@ -11,9 +11,9 @@ Each cell runs TWO training variants, because of the measured density-law
 inversion (artifacts/infomax_density.jsonl: near-duplicate training views
 shrink the learned model's noise margin):
   - dense:  trained on the full Nl-view library (AUTO epochs);
-  - sparse: trained on a strided subsample (~2000 effective views, AUTO
-    epochs for that count) -- the density the model prefers; the recall
-    episode and throughput measurement are identical.
+  - sparse: trained on a strided subsample at ~1 px effective spacing (the
+    density the model prefers; infomax_density.jsonl), same per-arc-pixel
+    dose; the recall episode and throughput measurement are identical.
 
 Usage: python artifacts/biglib_infomax.py [views ...]
        (default: 16000 32000 64000 128000)
@@ -107,7 +107,8 @@ def main():
     out = "artifacts/biglib_infomax.jsonl"
     with open(out, "a") as f:
         for views in views_list:
-            for stride in (1, max(1, views // 2000)):
+            # sparse stride targets ~1 px effective spacing on the 160-px arc
+            for stride in sorted({1, max(1, round(views / 160.0))}):
                 try:
                     r = run_one(views, stride)
                 except Exception as e:  # record the wall, don't die
