@@ -40,8 +40,10 @@ def run_one(views: int, train_stride: int) -> dict:
     from navdv_tpu.familiarity_infomax import auto_epochs, train_infomax
     from navdv_tpu.metrics import success_rate
 
-    # same workload as biglib_ext attempt 2: route capped at the 8000-view
-    # envelope's 160 px so the library densifies on a solvable task
+    # same workload as biglib_ext attempt 2 (keep this block in lockstep
+    # with biglib_ext.run_one — cross-artifact comparability depends on it):
+    # route capped at the 8000-view envelope's 160 px so the library
+    # densifies on a solvable task
     route_length = min(160.0 * views / 8000.0, 160.0)
     size = 512
     landscape, route = _world(route_length, size=size)

@@ -35,10 +35,13 @@ def main():
     from navdv_tpu.metrics import success_rate
 
     cfg0, landscape, route, _, _ = _setup(1, None, 40.0, None)
-    rng = np.random.default_rng(0)
     B = 64
     with open("artifacts/infomax_density.jsonl", "a") as out:
         for spacing in (1.6, 0.8, 0.4, 0.2):
+            # fresh seed per spacing: identical trial draws across densities,
+            # so the cross-density trend is paired like the within-row
+            # impl comparison already was
+            rng = np.random.default_rng(0)
             cfg = dataclasses.replace(cfg0, capture_spacing=spacing)
             lib = nav.train_library(landscape, route, cfg)
             st = make_statics(landscape, lib, route)

@@ -18,6 +18,7 @@ library (artifacts/infomax_density.jsonl).
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -49,6 +50,7 @@ def main() -> None:
     run = make_navigate_batch(cfg, fam_impl="infomax")
     pack = run.prepare(st)
     ckpt = os.path.join(args.out, "infomax_pack")
+    shutil.rmtree(ckpt, ignore_errors=True)  # orbax refuses to overwrite
     save_infomax(ckpt, pack)
     mb = sum(x.size * x.dtype.itemsize for x in pack) / 1e6
     print(f"trained network checkpointed: {mb:.1f} MB — CONSTANT in library "

@@ -19,17 +19,11 @@ from navdv_tpu.familiarity import LibraryPack
 
 def save_library(path: str, lib: LibraryPack) -> None:
     """Persist a trained view library with orbax (async-safe, atomic)."""
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, lib._asdict()))
-    ckpt.wait_until_finished()
+    _save_pack(path, lib)
 
 
 def load_library(path: str) -> LibraryPack:
-    ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(os.path.abspath(path))
-    import jax.numpy as jnp
-
-    return LibraryPack(**{k: jnp.asarray(v) for k, v in restored.items()})
+    return _load_pack(path, LibraryPack)
 
 
 def save_results(path: str, results: dict) -> None:
@@ -44,22 +38,30 @@ def load_results(path: str) -> dict:
         return {k: f[k] for k in f.files}
 
 
+def _save_pack(path: str, pack) -> None:
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, pack._asdict()))
+    ckpt.wait_until_finished()
+
+
+def _load_pack(path: str, cls):
+    import jax.numpy as jnp
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    return cls(**{k: jnp.asarray(v) for k, v in restored.items()})
+
+
 def save_infomax(path: str, pack) -> None:
     """Persist a trained Infomax network (familiarity_infomax.InfomaxPack).
 
     Worth checkpointing where the library itself is not: at the large-library
     scale the learned model exists for (SEMANTICS.md §9), retraining means
     re-rendering tens of thousands of views, while the pack is a few MB."""
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, pack._asdict()))
-    ckpt.wait_until_finished()
+    _save_pack(path, pack)
 
 
 def load_infomax(path: str):
     from navdv_tpu.familiarity_infomax import InfomaxPack
 
-    ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(os.path.abspath(path))
-    import jax.numpy as jnp
-
-    return InfomaxPack(**{k: jnp.asarray(v) for k, v in restored.items()})
+    return _load_pack(path, InfomaxPack)

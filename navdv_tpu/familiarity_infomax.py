@@ -75,10 +75,20 @@ def auto_epochs(
     of the same route gets proportionally fewer epochs, and the total dose
     ~0.8*P*arc is density- and shape-pad-invariant by construction.
 
-    ``capture_spacing=None`` falls back to 40*P total updates (the sparse-
-    capture plateau) for callers without route information."""
+    Returned epochs are ROUNDED to the nearest integer; at extreme density
+    (ideal epochs near 1, e.g. >=64k views on a 160-px arc) even rounding
+    quantizes the dose by up to ~50% into the measured collapse region —
+    :func:`train_infomax`'s ``epochs=0`` path avoids that entirely by
+    training a fractional final epoch on an evenly strided subset, hitting
+    the target dose exactly. Prefer ``epochs=0`` over calling this helper.
+
+    ``capture_spacing=None`` falls back to 40*P total updates — the plateau
+    measured at ~1 px capture. Callers without route information on a much
+    DENSER library should derive a dose themselves: no constant-in-Nl
+    epoch count is safe across densities (0.99 -> 0.15 on the biglib dense
+    cell between 20*P and 40*P total)."""
     if capture_spacing is not None:
-        return max(1, -(-int(0.8 * n_pixels * capture_spacing * 1000) // 1000))
+        return max(1, round(0.8 * n_pixels * capture_spacing))
     return max(1, -(-40 * n_pixels // max(1, n_views)))
 
 
@@ -93,12 +103,27 @@ def train_infomax(
     """Train W on the library's z-scored views (jittable; lax.scan over the
     inherently sequential per-view updates). Padded views (valid=0) are
     presented with a zero-masked update, so bucketed/sharded-shape libraries
-    train identically to unpadded ones. ``epochs=0`` -> :func:`auto_epochs`
-    (with the capture spacing when the caller provides it)."""
+    train identically to unpadded ones.
+
+    ``epochs=0`` = AUTO: with ``capture_spacing``, the target dose
+    ``0.8 * P * spacing * Nl`` updates is hit EXACTLY — whole epochs via
+    scan plus one fractional epoch over an evenly strided subset of the
+    views (integer epochs would quantize the dose up to ~2x at extreme
+    density, landing in the measured overtraining-collapse region);
+    without spacing, :func:`auto_epochs`'s 40*P fallback."""
     z = lib.z.astype(jnp.float32)  # [Nl, P]
     p = z.shape[1]
+    nl = z.shape[0]
+    frac_n = 0
     if epochs == 0:
-        epochs = auto_epochs(z.shape[0], p, capture_spacing)
+        if capture_spacing is not None:
+            target = 0.8 * p * capture_spacing * nl  # updates
+            epochs = int(target // nl)
+            frac_n = min(nl, int(round(target - epochs * nl)))
+            if epochs == 0 and frac_n == 0:
+                frac_n = 1
+        else:
+            epochs = auto_epochs(nl, p, None)
     key = jax.random.PRNGKey(seed)
     w0 = jax.random.normal(key, (n_units, p), jnp.float32) / jnp.sqrt(
         jnp.asarray(p, jnp.float32)
@@ -116,7 +141,15 @@ def train_infomax(
         w, _ = jax.lax.scan(update, w, (z, lib.valid))
         return w, None
 
-    w, _ = jax.lax.scan(epoch, w0, None, length=epochs)
+    w = w0
+    if epochs > 0:
+        w, _ = jax.lax.scan(epoch, w, None, length=epochs)
+    if frac_n > 0:
+        # fractional epoch: evenly strided subset spans the whole route
+        # instead of biasing the extra dose toward its start
+        step = max(1, nl // frac_n)
+        zs, vs = z[::step][:frac_n], lib.valid[::step][:frac_n]
+        w, _ = jax.lax.scan(update, w, (zs, vs))
     return InfomaxPack(w=w, wsum=jnp.sum(w, axis=1))
 
 

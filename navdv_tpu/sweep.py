@@ -161,22 +161,35 @@ def run_cell(
         from navdv_tpu.parallel.mesh import pad_library
 
         lib = pad_library(lib, lib_bucket)
-    # infomax AUTO epochs need no bucketing correction: the training budget
-    # derives from capture_spacing (updates-per-arc-pixel rule,
-    # familiarity_infomax.auto_epochs), which shape padding cannot change
+    if fam_impl == "infomax" and cfg.scan.infomax_epochs == 0:
+        # resolve AUTO epochs explicitly (updates-per-arc-pixel rule; shape
+        # padding cannot change it — the budget derives from spacing) so the
+        # nav-fn cache key below can stay spacing-free: cells with equal
+        # resolved epochs then share one compilation, preserving the
+        # lib_bucket compile-sharing win for this impl too
+        from navdv_tpu.familiarity_infomax import auto_epochs
+
+        cfg = dataclasses.replace(
+            cfg,
+            scan=dataclasses.replace(
+                cfg.scan,
+                infomax_epochs=auto_epochs(
+                    n_views_true, cfg.sensor.n_pixels, cfg.capture_spacing
+                ),
+            ),
+        )
     st = make_statics(land_dev, lib, route)
     starts, thetas = make_trials(
         route, cfg, n_trials, seed=seed, start_anywhere=start_anywhere
     )
     # the traced program does not depend on capture_spacing (it only sets the
-    # library shape, which lib_bucket normalizes) — key the fn cache on
-    # everything else so shape-equal cells share one compilation. EXCEPT
-    # infomax: its AUTO training budget derives from capture_spacing, so the
-    # prepare stage's traced epochs differ per spacing — key on the full cfg.
+    # library shape, which lib_bucket normalizes; infomax's spacing-derived
+    # training budget was resolved into an explicit epochs count above) —
+    # key the fn cache on everything else so shape-equal cells share one
+    # compilation
     if nav_cache is None:
         nav_cache = {}
-    cfg_key = (cfg if fam_impl == "infomax"
-               else dataclasses.replace(cfg, capture_spacing=0.0))
+    cfg_key = dataclasses.replace(cfg, capture_spacing=0.0)
     if mesh is not None:
         from navdv_tpu.parallel.mesh import (
             LIB_AXIS,

@@ -133,14 +133,13 @@ def test_auto_epochs_arc_rule():
 
     p = 1152
     arc = 160.0
-    doses = []
+    target = 0.8 * p * arc
     for nl in (100, 1000, 16000, 64000):
         spacing = arc / nl
-        e = auto_epochs(nl, p, spacing)
-        doses.append(e * nl)
-    target = 0.8 * p * arc
-    for d in doses:
-        assert target <= d <= target + 64000 * 1.01  # within one extra pass
+        d = auto_epochs(nl, p, spacing) * nl
+        # rounding to whole epochs bounds the dose within half a pass either
+        # side (train_infomax's epochs=0 path is exact via fractional epochs)
+        assert abs(d - target) <= 0.5 * nl + 1
     # spacing-free fallback keeps the sparse-capture 40*P plateau
     assert auto_epochs(61, p) * 61 >= 40 * p
 
@@ -254,3 +253,23 @@ def test_scoring_invariant_to_affine_intensity(trained):
     np.testing.assert_allclose(
         _novelty(pack, views), _novelty(pack, dimmed), rtol=2e-4, atol=2e-4
     )
+
+
+def test_auto_fractional_dose_exactness(trained):
+    """epochs=0 + capture_spacing hits the 0.8*P*spacing*Nl dose exactly:
+    a spacing that lands on a whole number of epochs matches explicit
+    epochs bitwise, and a sub-epoch target trains less than one full pass."""
+    _, _, lib = trained
+    nl, p = lib.flat.shape
+    spacing_2ep = 2.0 / (0.8 * p)  # target = exactly 2 * Nl updates
+    w_auto = train_infomax(lib, n_units=16, eta=0.1, epochs=0, seed=0,
+                           capture_spacing=spacing_2ep).w
+    w_two = train_infomax(lib, n_units=16, eta=0.1, epochs=2, seed=0).w
+    np.testing.assert_array_equal(np.asarray(w_auto), np.asarray(w_two))
+    # sub-epoch: target = Nl/2 updates -> strictly between init and 1 epoch
+    spacing_half = 0.5 / (0.8 * p)
+    w_half = train_infomax(lib, n_units=16, eta=0.1, epochs=0, seed=0,
+                           capture_spacing=spacing_half).w
+    w_one = train_infomax(lib, n_units=16, eta=0.1, epochs=1, seed=0).w
+    assert not np.array_equal(np.asarray(w_half), np.asarray(w_one))
+    assert not np.array_equal(np.asarray(w_half), np.zeros_like(w_half))
