@@ -70,8 +70,8 @@ def dose_response(path):
 
 def density(path):
     views = [33, 65, 129, 258]
-    jnp = [0.969, 0.984, 0.984, 1.0]
-    info = [0.875, 0.688, 0.609, 0.359]
+    jnp = [0.969, 1.0, 1.0, 1.0]
+    info = [0.875, 0.703, 0.719, 0.25]
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
     fig.patch.set_facecolor(SURFACE)
     _style(ax)
@@ -81,7 +81,7 @@ def density(path):
             label="learned memory (infomax, AUTO v2)")
     ax.text(views[-1], jnp[-1] + 0.03, "1.00", ha="center", fontsize=8,
             color=TEXT2)
-    ax.text(views[-1], info[-1] - 0.07, "0.36", ha="center", fontsize=8,
+    ax.text(views[-1], info[-1] - 0.07, "0.25", ha="center", fontsize=8,
             color=TEXT2)
     from matplotlib.ticker import NullFormatter, NullLocator
 
