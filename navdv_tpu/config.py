@@ -186,7 +186,11 @@ class ScanConfig:
     # proportional walls of the perfect-memory paths (artifacts/
     # biglib_ext.jsonl). A different MODEL, not an equivalent impl: recall
     # differs from perfect memory; always opt-in, never chosen by "auto".
-    # 0 units = n_pixels (the literature's default shape). eta=0.1 with
+    # 0 units = n_pixels (the literature's default shape; scoring cost and
+    # memory scale with units — measured trade for fewer: on the easy
+    # route-60 world even units=P/8 holds recall 0.98, on the config-1
+    # noisy-start workload units=P/2 already costs ~28pp. Workload-gated
+    # opt-in, like every approximation knob here). eta=0.1 with
     # epochs=0 = AUTO (~0.8*n_pixels updates per arc-pixel of route,
     # familiarity_infomax.auto_epochs): the literature's single presentation
     # at eta=0.01 is undertrained at these sensor scales — the dose-response
