@@ -331,18 +331,22 @@ def choose_fam_impl(cfg: SimConfig) -> str:
       path is matmul-identical to "jnp" at ~5x its speed.
     - SSD + sparse library -> "fft": the valley is deep (config 1/4: recall
       within the documented 1-2pp band at 4-7x "jnp").
-    - SSD + small sensor (n_pixels < 512) -> "jnp": measured round 4
-      (artifacts/sweep_r4_auto + small-sensor probe): at 18x4 (u=20) the
-      extract-then-matmul path runs 1.31M steps/s — 1.9-3.1x fft and ~2x
-      roll — because the extraction-free paths pay the FULL fine-azimuth
-      circle (A=360 DFT bins / a u-times-wider pre-rolled library) for
-      views of only 72-288 px, and the fft path also lost up to 17pp recall
-      at sparse spacings there. Exact numerics, fastest, no trade.
+    - Small sensor (n_pixels < 512) -> "jnp", for BOTH metrics: measured
+      round 4 for SSD (artifacts/sweep_r4_auto + small-sensor probe): at
+      18x4 (u=20) the extract-then-matmul path runs 1.31M steps/s — 1.9-3.1x
+      fft and ~2x roll — because the extraction-free paths pay the FULL
+      fine-azimuth circle (A=360 DFT bins / a u-times-wider pre-rolled
+      library) for views of only 72-288 px, a cost structure the metric
+      does not change (NCC adds only per-view z-scoring to both paths);
+      the fft path also lost up to 17pp recall at sparse SSD spacings
+      there. Exact numerics, fastest, no trade (ADVICE r4: the small-sensor
+      rule now precedes the metric branch; TPU confirmation of the NCC
+      small-sensor ordering is in artifacts/ncc_small_sensor.jsonl).
     """
+    if cfg.sensor.n_pixels < 512:
+        return "jnp"
     if cfg.scan.metric == "ncc":
         return "fft"
-    if cfg.scan.metric == "ssd" and cfg.sensor.n_pixels < 512:
-        return "jnp"
     if cfg.capture_spacing <= 0.5:
         return "roll"
     return "fft"

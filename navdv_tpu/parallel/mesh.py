@@ -167,7 +167,12 @@ def make_navigate_sharded(
 
     if lib_prepare is None:
         def run(states0: AgentState, st: EpisodeStatics, aux=None):
-            assert aux is None, f"fam_impl={fam_impl!r} has no prepare stage"
+            # a ValueError, not an assert: under `python -O` an assert strips
+            # and a caller-supplied aux would be silently ignored (ADVICE r4)
+            if aux is not None:
+                raise ValueError(
+                    f"fam_impl={fam_impl!r} has no prepare stage; got aux"
+                )
             return base(states0, st)
 
         run.prepare = None
@@ -246,4 +251,80 @@ def make_navigate_sharded(
         return prep(st)
 
     run.prepare = prepare
+    return run
+
+
+def make_navigate_cells(cfg: SimConfig, mesh: Mesh, fam_impl: str = "jnp",
+                        early_exit: bool = True):
+    """SPMD over sweep CELLS (SURVEY.md §3.5's last clause: "distribute
+    cells across chips/slices via a device mesh").
+
+    Sweep cells are embarrassingly parallel, so the idiomatic TPU mapping is
+    to make the CELL axis a sharded data axis: a stack of same-traced-program
+    cells (identical sensor/scan/agent config; bucketed library shape;
+    per-cell library CONTENTS and trial batches) runs as ONE program with the
+    leading cell axis sharded over the mesh ``data`` axis. Each device runs
+    its cells' whole episode batches and reduces them to per-cell metric
+    aggregates on device — only [C]-shaped scalars ever reach the host.
+
+    Returns ``run(states0 [C, B, ...], lib_stack [C, ...], shared)`` where
+    ``shared`` is an :class:`EpisodeStatics` with ``lib=None`` (landscape and
+    route constants are replicated; the library is the only per-cell static).
+    Output: dict of per-cell aggregates, each ``[C]`` (or ``[C, 4]`` for
+    ``status_counts``). C must be a multiple of the data-axis size; the
+    sweep runner pads with repeated cells and drops the padding on unstack.
+
+    ``mesh`` must have a size-1 ``lib`` axis: within-cell library sharding
+    composes with trial sharding (make_navigate_sharded), not with cell
+    sharding — a cell small enough to co-run with others on one device has
+    no reason to split its library.
+    """
+    from navdv_tpu.metrics import episode_metrics
+
+    if mesh.shape[LIB_AXIS] != 1:
+        raise ValueError(
+            f"make_navigate_cells wants a (data, lib=1) mesh; got lib axis "
+            f"size {mesh.shape[LIB_AXIS]} — use make_navigate_sharded for "
+            f"within-cell library sharding"
+        )
+    n_data = mesh.shape[DATA_AXIS]
+    nav = make_navigate_batch_fn(cfg, fam_impl, early_exit=early_exit)
+
+    def cells_fn(states0, lib_stack, shared):
+        def one(s0, lib_c):
+            st = shared._replace(lib=lib_c)
+            final, rec = nav(s0, st)
+            m = episode_metrics(final, rec)
+            succ = m["success"].astype(jnp.float32)
+            return {
+                "success_rate": jnp.mean(succ),
+                "mean_steps": jnp.mean(m["n_steps"].astype(jnp.float32)),
+                "mean_path_error": jnp.mean(m["mean_path_error"]),
+                "max_path_error": jnp.max(m["max_path_error"]),
+                "executed_steps": jnp.sum(m["n_steps"]),
+                "status_counts": jnp.sum(
+                    final.status[:, None] == jnp.arange(4)[None, :], axis=0
+                ),
+            }
+
+        return jax.vmap(one)(states0, lib_stack)
+
+    fn = jax.jit(shard_map(
+        cells_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    ))
+
+    def run(states0: AgentState, lib_stack: LibraryPack, shared: EpisodeStatics):
+        c = states0.theta.shape[0]
+        if c % n_data != 0:
+            raise ValueError(
+                f"cell count {c} must be a multiple of the data-axis size "
+                f"{n_data} (pad by repeating cells)"
+            )
+        if shared.lib is not None:
+            raise ValueError("shared statics must carry lib=None; the "
+                             "library stack is the per-cell argument")
+        return fn(states0, lib_stack, shared)
+
     return run

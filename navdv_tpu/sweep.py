@@ -108,6 +108,31 @@ class SweepSpec:
             yield key, cfg, params
 
 
+def resolve_infomax_epochs(cfg, n_views_true: int):
+    """Resolve an infomax AUTO training dose (``infomax_epochs=0``) into an
+    explicit integer epoch count when — and only when — the integer is a
+    faithful dose, so the nav-fn cache key can stay spacing-free and cells
+    with equal resolved epochs share one compilation.
+
+    At extreme density the ideal dose ``0.8*P*spacing`` approaches 1 and
+    rounding quantizes it by up to ~2x into the measured overtraining-
+    collapse region (ADVICE r4) — there the config keeps ``epochs=0``
+    (train_infomax's exact fractional-final-epoch path) and run_cell accepts
+    the per-cell recompile, keeping spacing in the cache key so no cell
+    reuses another's training dose."""
+    from navdv_tpu.familiarity_infomax import auto_epochs
+
+    if cfg.scan.infomax_epochs != 0:
+        return cfg
+    ideal = 0.8 * cfg.sensor.n_pixels * cfg.capture_spacing
+    resolved = auto_epochs(n_views_true, cfg.sensor.n_pixels, cfg.capture_spacing)
+    if abs(resolved - ideal) > 0.05 * ideal:
+        return cfg
+    return dataclasses.replace(
+        cfg, scan=dataclasses.replace(cfg.scan, infomax_epochs=resolved)
+    )
+
+
 def run_cell(
     landscape,
     route: np.ndarray,
@@ -161,23 +186,8 @@ def run_cell(
         from navdv_tpu.parallel.mesh import pad_library
 
         lib = pad_library(lib, lib_bucket)
-    if fam_impl == "infomax" and cfg.scan.infomax_epochs == 0:
-        # resolve AUTO epochs explicitly (updates-per-arc-pixel rule; shape
-        # padding cannot change it — the budget derives from spacing) so the
-        # nav-fn cache key below can stay spacing-free: cells with equal
-        # resolved epochs then share one compilation, preserving the
-        # lib_bucket compile-sharing win for this impl too
-        from navdv_tpu.familiarity_infomax import auto_epochs
-
-        cfg = dataclasses.replace(
-            cfg,
-            scan=dataclasses.replace(
-                cfg.scan,
-                infomax_epochs=auto_epochs(
-                    n_views_true, cfg.sensor.n_pixels, cfg.capture_spacing
-                ),
-            ),
-        )
+    if fam_impl == "infomax":
+        cfg = resolve_infomax_epochs(cfg, n_views_true)
     st = make_statics(land_dev, lib, route)
     starts, thetas = make_trials(
         route, cfg, n_trials, seed=seed, start_anywhere=start_anywhere
@@ -186,10 +196,15 @@ def run_cell(
     # library shape, which lib_bucket normalizes; infomax's spacing-derived
     # training budget was resolved into an explicit epochs count above) —
     # key the fn cache on everything else so shape-equal cells share one
-    # compilation
+    # compilation. Exception: an unresolved infomax AUTO dose (epochs still
+    # 0, extreme-density fractional path) keeps spacing in the key — the
+    # prepare stage's traced training length derives from it.
     if nav_cache is None:
         nav_cache = {}
-    cfg_key = dataclasses.replace(cfg, capture_spacing=0.0)
+    if fam_impl == "infomax" and cfg.scan.infomax_epochs == 0:
+        cfg_key = cfg
+    else:
+        cfg_key = dataclasses.replace(cfg, capture_spacing=0.0)
     if mesh is not None:
         from navdv_tpu.parallel.mesh import (
             LIB_AXIS,
@@ -290,6 +305,7 @@ def run_sweep(
     mesh=None,
     tensorboard: bool = True,
     recall_check_trials: int = 0,
+    cells_mesh=None,
 ) -> dict:
     """Run every cell, resuming from ``out_dir`` (cells with a result file are
     skipped). Returns {cell_key: results} and writes summary.json.
@@ -298,7 +314,26 @@ def run_sweep(
     cluster-array-job pattern (SURVEY.md §1 L4): launch n sweep processes
     (one per host/VM) against a shared out_dir; resume makes the union
     complete and idempotent.
+
+    ``mesh`` shards trials WITHIN each cell across the mesh (one big cell
+    spanning all chips). ``cells_mesh`` instead distributes CELLS over the
+    mesh's data axis (SURVEY.md §3.5): same-traced-program cells are stacked
+    and run as one SPMD program via
+    :func:`navdv_tpu.parallel.mesh.make_navigate_cells` — the right mode
+    when the grid has many more cells than chips. Mutually exclusive with
+    ``mesh`` and ``recall_check_trials``; per-cell resume is identical.
     """
+    if cells_mesh is not None:
+        if mesh is not None:
+            raise ValueError("pass mesh OR cells_mesh, not both")
+        if recall_check_trials:
+            raise ValueError(
+                "recall_check_trials is not supported with cells_mesh; run "
+                "a per-cell pass (mesh=None) for the jnp cross-check")
+        return _run_sweep_cells_mesh(
+            landscape, route, spec, out_dir, fam_impl, verbose, shard,
+            tensorboard, cells_mesh,
+        )
     os.makedirs(out_dir, exist_ok=True)
     all_results = {}
     nav_cache: dict = {}  # one compile per traced program (see lib_bucket)
@@ -337,6 +372,127 @@ def run_sweep(
                 f"[sweep] {key}: success={float(res['success_rate']):.3f} "
                 f"steps/s={float(res['agent_steps_per_s']):,.0f}"
             )
+    summary = {
+        k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
+        for k, v in all_results.items()
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return all_results
+
+
+def _run_sweep_cells_mesh(
+    landscape,
+    route: np.ndarray,
+    spec: SweepSpec,
+    out_dir: str,
+    fam_impl: str,
+    verbose: bool,
+    shard: tuple[int, int] | None,
+    tensorboard: bool,
+    cells_mesh,
+) -> dict:
+    """Cells-over-mesh sweep mode (SURVEY.md §3.5 "distribute cells across
+    chips/slices"; VERDICT r4 item 6).
+
+    Pending cells are grouped by traced program (config with spacing
+    stripped + resolved impl + bucketed library shape); each group stacks
+    its cells' libraries and trial batches along a leading CELL axis and
+    runs ONE jitted shard_map program with that axis sharded over the mesh
+    ``data`` axis (parallel.mesh.make_navigate_cells). Groups whose cell
+    count is not a multiple of the data-axis size are padded by repeating
+    the last cell; padding results are dropped on unstack. Per-cell result
+    files and resume behave exactly as the serial path.
+    """
+    from navdv_tpu.agent import init_state, make_statics
+    from navdv_tpu.config import choose_fam_impl
+    from navdv_tpu.parallel.mesh import (
+        DATA_AXIS,
+        make_navigate_cells,
+        pad_library,
+    )
+    from navdv_tpu.training import train_library
+
+    os.makedirs(out_dir, exist_ok=True)
+    land_dev = jnp.asarray(landscape)
+    n_data = cells_mesh.shape[DATA_AXIS]
+    all_results = {}
+
+    # pass 1: resume hits + per-cell library training + program grouping
+    groups: dict = {}
+    for idx, (key, cfg, params) in enumerate(spec.cells()):
+        if shard is not None and idx % shard[1] != shard[0]:
+            continue
+        path = os.path.join(out_dir, f"cell_{key}.npz")
+        if os.path.exists(path):
+            all_results[key] = load_results(path)
+            if verbose:
+                print(f"[sweep] {key}: resumed from disk")
+            continue
+        impl = choose_fam_impl(cfg) if fam_impl == "auto" else fam_impl
+        lib = train_library(land_dev, route, cfg, pad_views_to=spec.lib_bucket)
+        n_views_true = int(lib.views.shape[0])
+        if spec.lib_bucket > 1:
+            lib = pad_library(lib, spec.lib_bucket)
+        if impl == "infomax":
+            cfg = resolve_infomax_epochs(cfg, n_views_true)
+        strip = not (impl == "infomax" and cfg.scan.infomax_epochs == 0)
+        cfg_key = dataclasses.replace(cfg, capture_spacing=0.0) if strip else cfg
+        gkey = (cfg_key, impl, tuple(lib.views.shape))
+        starts, thetas = make_trials(
+            route, cfg, spec.n_trials, seed=spec.seed,
+            start_anywhere=spec.start_anywhere,
+        )
+        groups.setdefault(gkey, []).append(
+            (key, cfg, params, lib, init_state(starts, thetas), n_views_true)
+        )
+
+    # pass 2: one SPMD program per group
+    for (cfg_key, impl, lib_shape), cells in groups.items():
+        cfg_repr = cells[0][1]
+        c_true = len(cells)
+        pad_n = (-c_true) % n_data
+        libs = [c[3] for c in cells] + [cells[-1][3]] * pad_n
+        states = [c[4] for c in cells] + [cells[-1][4]] * pad_n
+        lib_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *libs)
+        states0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        shared = make_statics(land_dev, libs[0], route)._replace(lib=None)
+        nav_cells = make_navigate_cells(cfg_repr, cells_mesh, impl)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(nav_cells(states0, lib_stack, shared))
+        warmup_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(nav_cells(states0, lib_stack, shared))
+        wall = time.perf_counter() - t0
+        group_steps = float(np.sum(np.asarray(out["executed_steps"])[:c_true]))
+        for i, (key, cfg, params, lib, _, n_views_true) in enumerate(cells):
+            res = {k: np.asarray(v[i]) for k, v in out.items()}
+            res.update(
+                n_library_views=np.asarray(n_views_true),
+                n_library_padded=np.asarray(lib.views.shape[0]),
+                n_trials=np.asarray(spec.n_trials),
+                wall_s=np.asarray(wall),
+                warmup_s=np.asarray(warmup_s),
+                fam_impl=np.asarray(impl),
+                # throughput is a GROUP quantity in this mode: the group ran
+                # as one program with cells concurrent across devices
+                agent_steps_per_s=np.asarray(group_steps / wall),
+                group_size=np.asarray(c_true),
+                group_pad=np.asarray(pad_n),
+            )
+            for name, value in params.items():
+                res[f"ax_{name}"] = np.asarray(value)
+            path = os.path.join(out_dir, f"cell_{key}.npz")
+            save_results(path, res)
+            all_results[key] = res
+            if tensorboard:
+                _log_tensorboard(out_dir, key, res)
+            if verbose:
+                print(
+                    f"[sweep] {key}: success={float(res['success_rate']):.3f} "
+                    f"group of {c_true} over {n_data} devices"
+                )
+
     summary = {
         k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
         for k, v in all_results.items()

@@ -1,0 +1,125 @@
+"""Bench output-record invariants (VERDICT r4 items 1b/3/7).
+
+Round 4's official record was lost to an unhandled tunnel outage and its
+ungated latency lines were ambiguous to a parser. These tests pin the
+machine-readable contract of bench.py's JSON lines:
+
+- every line carries exactly one of ``ok`` (a verdict) / ``gate`` (an
+  explicit skip marker with a reason) — enforced at emit time by
+  ``check_line_invariant`` and exercised here on real ``run_bench`` output;
+- the structured outage line parses and is self-describing;
+- the cross-round regression guard flags >5% drops against the committed
+  previous-round artifact and stays quiet inside the tolerance.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+TINY = dict(batch=4, steps=6, views=8, route_length=20.0, min_window_s=0.02,
+            repeats=1)
+
+
+def test_invariant_rejects_bare_line():
+    with pytest.raises(ValueError, match="exactly one of ok/gate"):
+        bench.check_line_invariant({"metric": "m", "value": 1.0})
+
+
+def test_invariant_rejects_both_fields():
+    with pytest.raises(ValueError, match="exactly one of ok/gate"):
+        bench.check_line_invariant({"metric": "m", "ok": True, "gate": "x"})
+
+
+def test_invariant_passes_each_alone():
+    assert bench.check_line_invariant({"ok": False}) == {"ok": False}
+    assert bench.check_line_invariant({"gate": "skipped: reason"})
+
+
+def test_ungated_line_carries_explicit_marker():
+    # the B=1/B=16 latency lines of --all (gated=False): an explicit skip
+    # marker, never a bare line (VERDICT r4 weak 3)
+    result = bench.run_bench(1, gated=False, **TINY)
+    assert "ok" not in result
+    assert result["gate"].startswith("skipped:")
+    assert "population" in result["gate"]
+
+
+def test_config5_gets_gate_marker_not_keyerror():
+    # ADVICE r4: ACCURACY_BAND[5] used to KeyError after the timed run
+    result = bench.run_bench(5, gated=True, **TINY)
+    assert "ok" not in result
+    assert result["gate"] == "skipped: no accuracy band for config 5"
+
+
+def test_gated_line_carries_ok_verdict():
+    result = bench.run_bench(1, gated=True, **TINY)
+    assert "gate" not in result
+    assert isinstance(result["ok"], bool)
+    assert "exact_recall_ref" in result and "recall_floor" in result
+    json.dumps(result)  # line must be JSON-serializable
+
+
+def test_error_line_is_structured_json():
+    line = bench._error_line("tpu_unavailable", probe_attempts=3,
+                             probe_window_s=600.0)
+    rec = json.loads(line)
+    assert rec["ok"] is False
+    assert rec["error"] == "tpu_unavailable"
+    assert rec["metric"] == "agent-steps/sec/chip"
+    assert rec["value"] is None
+    bench.check_line_invariant(rec)
+
+
+def test_probe_gating_respects_env(monkeypatch):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert not bench._needs_tpu_probe()
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "192.0.2.55")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not bench._needs_tpu_probe()  # CPU-forced runs never probe
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert bench._needs_tpu_probe()
+    monkeypatch.setenv("NAVDV_BENCH_SKIP_PROBE", "1")
+    assert not bench._needs_tpu_probe()
+
+
+def test_probe_detects_dead_tunnel_fast(monkeypatch):
+    # a subprocess probe against a poisoned pool IP must FAIL (bounded),
+    # not hang the parent — the round-4 failure mode
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "192.0.2.55")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    up, detail = bench._probe_backend_once(timeout_s=8.0)
+    assert not up
+    assert detail
+
+
+def test_regression_guard_flags_drop_and_passes_within_tol():
+    baseline = {(1, 1024, "fft", "tpu"): 1_000_000.0}
+    flagged = bench.apply_regression_guard(
+        {"config": 1, "batch": 1024, "impl": "fft", "device": "tpu",
+         "value": 900_000.0, "ok": True}, baseline)
+    assert flagged["regression"] is True
+    assert flagged["prev_round_value"] == 1_000_000.0
+    quiet = bench.apply_regression_guard(
+        {"config": 1, "batch": 1024, "impl": "fft", "device": "tpu",
+         "value": 980_000.0, "ok": True}, baseline)
+    assert quiet["regression"] is False
+    # unmatched key (e.g. CPU fallback run vs TPU baseline): no judgement
+    other = bench.apply_regression_guard(
+        {"config": 1, "batch": 1024, "impl": "fft", "device": "cpu",
+         "value": 3000.0, "ok": True}, baseline)
+    assert "regression" not in other
+
+
+def test_regression_baseline_loads_committed_artifact():
+    baseline = bench.load_regression_baseline()
+    # the repo ships artifacts/bench_r*_final_all.jsonl; config-1 headline
+    # must be present under its (config, batch, impl, device) key
+    assert any(k[0] == 1 and k[3] == "tpu" for k in baseline), baseline
+    assert all(isinstance(v, float) and v > 0 for v in baseline.values())

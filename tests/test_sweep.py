@@ -172,6 +172,38 @@ def test_auto_impl_resolution(small_cfg):
     assert choose_fam_impl(small) == "jnp"
     small_dense = dataclasses.replace(small, capture_spacing=0.2)
     assert choose_fam_impl(small_dense) == "jnp"
+    # the small-sensor rule precedes the metric branch (ADVICE r4): the
+    # full-circle cost structure the rule encodes is metric-independent
+    small_ncc = dataclasses.replace(
+        small, scan=dataclasses.replace(small.scan, metric="ncc"))
+    assert choose_fam_impl(small_ncc) == "jnp"
+
+
+def test_infomax_auto_dose_resolution(small_cfg):
+    """ADVICE r4: run_cell resolves the infomax AUTO dose to an integer for
+    compile sharing ONLY when the integer is faithful (within 5%); at extreme
+    density (ideal dose near 1) it keeps epochs=0 so train_infomax's exact
+    fractional path runs, and the cell pays a per-cell recompile instead of
+    a quantized (up to ~2x) overtraining dose."""
+    import dataclasses
+
+    from navdv_tpu.sweep import resolve_infomax_epochs
+
+    p = small_cfg.sensor.n_pixels
+    # moderate density: ideal = 0.8*P*spacing is large, rounding is faithful
+    moderate = dataclasses.replace(small_cfg, capture_spacing=1.0)
+    out = resolve_infomax_epochs(moderate, n_views_true=40)
+    assert out.scan.infomax_epochs == round(0.8 * p * 1.0)
+    # extreme density: ideal dose ~1.3 epochs -> rounding to 1 is a 23%
+    # dose error; the config must keep the fractional path
+    spacing = 1.3 / (0.8 * p)
+    extreme = dataclasses.replace(small_cfg, capture_spacing=spacing)
+    out = resolve_infomax_epochs(extreme, n_views_true=40)
+    assert out.scan.infomax_epochs == 0
+    # an explicit (non-AUTO) epochs count is never touched
+    explicit = dataclasses.replace(
+        extreme, scan=dataclasses.replace(extreme.scan, infomax_epochs=7))
+    assert resolve_infomax_epochs(explicit, 40).scan.infomax_epochs == 7
 
 
 def test_lib_bucket_equivalence(small_cfg, small_world):
@@ -242,10 +274,17 @@ def test_run_cell_auto_with_recall_check(small_cfg, small_world):
     from navdv_tpu.sweep import run_cell
 
     landscape, route = small_world
-    # NCC resolves to the spectral path regardless of sensor size, so the
-    # jnp cross-check branch is exercised (small SSD sensors resolve to jnp)
+    # a >=512-px NCC sensor resolves to the spectral path (small sensors of
+    # EITHER metric resolve to jnp since ADVICE r4), so the jnp cross-check
+    # branch is exercised
+    from navdv_tpu.config import SensorConfig
+
     cfg = dataclasses.replace(
-        small_cfg, scan=dataclasses.replace(small_cfg.scan, metric="ncc")
+        small_cfg,
+        sensor=SensorConfig(
+            n_radial=8, n_azimuth=64, az_upsample=2, r_min=2.0, r_max=8.0
+        ),
+        scan=dataclasses.replace(small_cfg.scan, metric="ncc"),
     )
     res = run_cell(landscape, route, cfg, n_trials=8, seed=0,
                    fam_impl="auto", recall_check_trials=4)
@@ -256,3 +295,76 @@ def test_run_cell_auto_with_recall_check(small_cfg, small_world):
     # documented band
     assert abs(float(res["success_rate_jnp"])
                - float(res["success_rate_subset"])) <= 0.5
+
+
+def test_sweep_cells_over_mesh_matches_serial(small_world, tmp_path):
+    """SURVEY §3.5's last clause (VERDICT r4 item 6): distribute CELLS over
+    the mesh data axis. Spacing-only cells share one traced program, so the
+    4-cell spacing axis runs as ONE shard_map program over the 4-device
+    group; per-cell metrics must match the serial per-cell path exactly."""
+    from navdv_tpu.parallel.mesh import make_mesh
+    from navdv_tpu.sweep import SweepSpec, run_sweep
+
+    landscape, route = small_world
+    spec = SweepSpec(
+        sensor_px=((24, 4, 3),),
+        scan_granularity=((12, 2), (8, 3)),
+        capture_spacing=(1.5, 2.0, 2.5, 3.0),
+        n_trials=4,
+        max_steps=16,
+        lib_bucket=16,
+    )
+    serial = run_sweep(landscape, route, spec, str(tmp_path / "serial"),
+                       verbose=False, tensorboard=False)
+    mesh = make_mesh(4, 1)
+    meshed = run_sweep(landscape, route, spec, str(tmp_path / "mesh"),
+                       cells_mesh=mesh, verbose=False, tensorboard=False)
+    assert set(serial) == set(meshed) and len(serial) == 8
+    for k in serial:
+        np.testing.assert_array_equal(
+            serial[k]["success_rate"], meshed[k]["success_rate"], err_msg=k)
+        np.testing.assert_allclose(
+            serial[k]["mean_path_error"], meshed[k]["mean_path_error"],
+            rtol=1e-5, err_msg=k)
+        # a cell's group is exactly the cells sharing its traced program:
+        # same scan granularity AND same bucketed library shape (the sparsest
+        # spacing can fall into a smaller bucket and group alone)
+        want_group = sum(
+            1 for j in meshed
+            if meshed[j]["ax_scan"] == meshed[k]["ax_scan"]
+            and int(meshed[j]["n_library_padded"]) == int(meshed[k]["n_library_padded"])
+        )
+        assert int(meshed[k]["group_size"]) == want_group, k
+    # at least one multi-cell group actually exercised the sharded cell axis
+    assert max(int(v["group_size"]) for v in meshed.values()) >= 3
+
+
+def test_sweep_cells_over_mesh_resume(small_world, tmp_path):
+    """Per-cell resume is intact in cells-over-mesh mode: deleting one cell
+    file and re-running recomputes only that cell (its group re-runs padded)
+    and the union is complete."""
+    from navdv_tpu.parallel.mesh import make_mesh
+    from navdv_tpu.sweep import SweepSpec, run_sweep
+
+    landscape, route = small_world
+    spec = SweepSpec(
+        sensor_px=((24, 4, 3),),
+        scan_granularity=((12, 2),),
+        capture_spacing=(1.5, 2.0, 2.5),
+        n_trials=4,
+        max_steps=16,
+        lib_bucket=16,
+    )
+    mesh = make_mesh(4, 1)
+    out = str(tmp_path / "mesh")
+    first = run_sweep(landscape, route, spec, out, cells_mesh=mesh,
+                      verbose=False, tensorboard=False)
+    # 3 cells on a 4-wide axis: one padding repeat
+    assert all(int(v["group_pad"]) == 1 for v in first.values())
+    victim = sorted(first)[1]
+    os.remove(os.path.join(out, f"cell_{victim}.npz"))
+    second = run_sweep(landscape, route, spec, out, cells_mesh=mesh,
+                       verbose=False, tensorboard=False)
+    assert set(second) == set(first)
+    np.testing.assert_array_equal(
+        first[victim]["success_rate"], second[victim]["success_rate"])
