@@ -148,8 +148,15 @@ def cmd_sweep(args) -> None:
     if args.shard:
         i, n = args.shard.split("/")
         shard = (int(i), int(n))
+    cells_mesh = None
+    if args.cells_mesh:
+        from navdv_tpu.parallel.mesh import make_mesh
+
+        cells_mesh = make_mesh(args.cells_mesh, 1)
     results = run_sweep(landscape, route, spec, args.out, fam_impl=args.impl,
-                        shard=shard, recall_check_trials=args.recall_check)
+                        shard=shard, cells_mesh=cells_mesh,
+                        recall_check_trials=0 if cells_mesh is not None
+                        else args.recall_check)
     viz.plot_sweep_heatmap(
         results, "scan", "px", os.path.join(args.out, "success_heatmap.png")
     )
@@ -207,6 +214,10 @@ def main(argv=None) -> None:
     s.add_argument("--trial-seed", type=int, default=None,
                    help="trial-randomization seed (default: --seed, which also "
                         "seeds the landscape)")
+    s.add_argument("--cells-mesh", type=int, default=0, metavar="N",
+                   help="distribute grid CELLS over an N-device data-axis "
+                        "mesh (SURVEY §3.5): same-traced-program cells run "
+                        "as one SPMD program; disables --recall-check")
     s.add_argument("--lib-bucket", type=int, default=0,
                    help="pad libraries to a multiple of this many views so "
                         "spacing-only cells share one XLA compilation "

@@ -150,3 +150,44 @@ def test_sharded_closed_loop_statistics(world, n_lib):
     want_rate = float(success_rate(want_final))
     got_rate = float(success_rate(got_final))
     assert abs(got_rate - want_rate) <= 0.25
+
+
+def test_navigate_cells_rejects_misuse(small_cfg, small_world):
+    """make_navigate_cells guards its contract: lib axis must be 1, the cell
+    count must tile the data axis, and shared statics must carry lib=None."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import navdv_tpu as nav
+    from navdv_tpu.agent import init_state, make_statics
+    from navdv_tpu.parallel.mesh import make_mesh, make_navigate_cells
+    from navdv_tpu.trials import make_trials
+
+    landscape, route = small_world
+    with pytest.raises(ValueError, match="lib"):
+        make_navigate_cells(small_cfg, make_mesh(2, 2), "jnp")
+
+    mesh = make_mesh(4, 1)
+    run = make_navigate_cells(small_cfg, mesh, "jnp")
+    lib = nav.train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    starts, thetas = make_trials(route, small_cfg, 4, seed=0)
+    s_one = init_state(starts, thetas)
+    # 3 cells on a 4-wide data axis: not a multiple
+    s3 = jax.tree.map(lambda x: jnp.stack([x] * 3), s_one)
+    lib3 = jax.tree.map(lambda x: jnp.stack([x] * 3), lib)
+    with pytest.raises(ValueError, match="multiple"):
+        run(s3, lib3, st._replace(lib=None))
+    # shared statics must not smuggle a library
+    s4 = jax.tree.map(lambda x: jnp.stack([x] * 4), s_one)
+    lib4 = jax.tree.map(lambda x: jnp.stack([x] * 4), lib)
+    with pytest.raises(ValueError, match="lib=None"):
+        run(s4, lib4, st)
+    # and the happy path on the same inputs: 4 identical cells agree
+    out = run(s4, lib4, st._replace(lib=None))
+    import numpy as np
+
+    sr = np.asarray(out["success_rate"])
+    assert sr.shape == (4,)
+    np.testing.assert_array_equal(sr, sr[0])
