@@ -881,16 +881,18 @@ def _run_cli(args, ap) -> None:
         # config 5 (sweep grid) runs via `python -m navdv_tpu.cli sweep`
         for cfg_n in (1, 2, 3, 4):
             _emit(apply_regression_guard(run_bench(
-                cfg_n, args.batch, args.steps, args.impl, repeats=args.repeats,
-                views=args.views, route_length=args.route_length,
+                cfg_n, batch=args.batch, steps=args.steps, impl=args.impl,
+                repeats=args.repeats, views=args.views,
+                route_length=args.route_length,
                 land_kind=args.land_kind), regression_baseline))
         # single-agent / small-batch latency envelope at config 1 (VERDICT
         # round 3, missing 2): BASELINE.json names config 1 "single-agent";
         # these lines report the B=1 step latency the headline batch hides
         for b_small in (1, 16, 64):
             _emit(apply_regression_guard(run_bench(
-                1, b_small, args.steps, args.impl, repeats=args.repeats,
-                views=args.views, route_length=args.route_length,
+                1, batch=b_small, steps=args.steps, impl=args.impl,
+                repeats=args.repeats, views=args.views,
+                route_length=args.route_length,
                 land_kind=args.land_kind, gated=b_small >= 64),
                 regression_baseline))
         _emit(run_pallas_gate(route_length=args.route_length))
@@ -902,8 +904,8 @@ def _run_cli(args, ap) -> None:
         _emit(run_fam_precision_gate("fft"))
         _emit(run_fam_precision_gate("roll"))
         return
-    result = run_bench(args.config, args.batch, args.steps, args.impl,
-                       repeats=args.repeats, views=args.views,
+    result = run_bench(args.config, batch=args.batch, steps=args.steps,
+                       impl=args.impl, repeats=args.repeats, views=args.views,
                        route_length=args.route_length,
                        land_kind=args.land_kind)
     _emit(result)

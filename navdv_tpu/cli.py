@@ -91,21 +91,18 @@ def cmd_bench(args) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
-    kw = dict(batch=args.batch, steps=args.steps, impl=args.impl,
-              repeats=args.repeats, views=args.views,
-              route_length=args.route_length, land_kind=args.land_kind)
-    if args.all:
-        for cfg_n in (1, 2, 3, 4):
-            print(json.dumps(bench.run_bench(cfg_n, **kw)))
-        for b_small in (1, 16, 64):
-            kw_small = dict(kw, batch=b_small, gated=b_small >= 64)
-            print(json.dumps(bench.run_bench(1, **kw_small)))
-        print(json.dumps(bench.run_pallas_gate(route_length=args.route_length)))
-        print(json.dumps(bench.run_pallas_gate(
-            route_length=args.route_length, config_n=3, batch=32, n_sample=8)))
-        print(json.dumps(bench.run_sector_gate()))
-        return
-    print(json.dumps(bench.run_bench(args.config, **kw)))
+    # delegate to bench's own CLI body so the --all sequence, the per-line
+    # ok/gate invariant, and the cross-round regression guard live in ONE
+    # place (they drifted apart when cli.py carried its own copy)
+    import argparse
+
+    ns = argparse.Namespace(
+        config=args.config, batch=args.batch, steps=args.steps,
+        views=args.views, route_length=args.route_length, impl=args.impl,
+        repeats=args.repeats, land_kind=args.land_kind, all=args.all,
+        big_landscape=0, big_kind="fractal", jax_cache=None,
+    )
+    bench._run_cli(ns, argparse.ArgumentParser())
 
 
 def _load_world(args, size):

@@ -48,9 +48,12 @@ def test_cli_bench_arg_parity(monkeypatch, capsys):
     import bench
 
     calls = []
-    monkeypatch.setattr(bench, "run_bench", lambda n, **kw: calls.append(("bench", n, kw)) or {"n": n})
-    monkeypatch.setattr(bench, "run_pallas_gate", lambda **kw: calls.append(("pallas", kw)) or {"g": 1})
-    monkeypatch.setattr(bench, "run_sector_gate", lambda: calls.append(("sector",)) or {"g": 2})
+    # stub returns carry the emit-time invariant (exactly one of ok/gate)
+    monkeypatch.setattr(bench, "run_bench", lambda n, **kw: calls.append(("bench", n, kw)) or {"n": n, "ok": True})
+    monkeypatch.setattr(bench, "run_pallas_gate", lambda **kw: calls.append(("pallas", kw)) or {"g": 1, "ok": True})
+    monkeypatch.setattr(bench, "run_sector_gate", lambda: calls.append(("sector",)) or {"g": 2, "ok": True})
+    monkeypatch.setattr(bench, "run_fam_precision_gate",
+                        lambda impl: calls.append(("fam_prec", impl)) or {"g": impl, "ok": True})
 
     main(["bench", "--config", "2", "--batch", "64", "--steps", "7",
           "--views", "21", "--route-length", "55", "--repeats", "2",
@@ -63,9 +66,13 @@ def test_cli_bench_arg_parity(monkeypatch, capsys):
     calls.clear()
     main(["bench", "--all"])
     kinds = [c[0] for c in calls]
-    # configs 1-4, then the B=1/16/64 config-1 latency envelope, then gates
-    assert kinds == ["bench"] * 7 + ["pallas", "pallas", "sector"]
+    # configs 1-4, the B=1/16/64 config-1 latency envelope, then the Pallas,
+    # sector, and fft/roll-precision gates — the ONE sequence both entry
+    # points share (cli.cmd_bench delegates to bench._run_cli)
+    assert kinds == ["bench"] * 7 + ["pallas", "pallas", "sector",
+                                     "fam_prec", "fam_prec"]
     assert [c[1] for c in calls[:7]] == [1, 2, 3, 4, 1, 1, 1]
+    assert [c[1] for c in calls[10:]] == ["fft", "roll"]
     small = [c[2] for c in calls[4:7]]
     assert [kw_["batch"] for kw_ in small] == [1, 16, 64]
     # tiny-batch lines skip the recall gate (no population to gate on)
