@@ -60,11 +60,14 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def train_variant(lib, n_units, eta, capture_spacing, seed, variant):
-    """train_infomax generalized with the mitigation variants. Matches the
-    production trainer exactly for variant='base' (same init, same update,
-    same AUTO dose: whole epochs + an evenly strided fractional epoch)."""
-    z = np.asarray(lib.z, np.float32)
-    valid = np.asarray(lib.valid, np.float32)
+    """train_infomax generalized with the mitigation variants, as ONE jitted
+    ``lax.scan`` over every presentation (a Python loop at this dose — ~72k
+    updates of a 1152^2 network — costs ~8 min/run; the scan runs in ~1 min).
+    Matches the production trainer's semantics for variant='base' (same
+    init, same update rule, same AUTO dose: whole epochs in library order
+    plus an evenly strided fractional epoch)."""
+    z = lib.z.astype(jnp.float32)
+    valid = jnp.asarray(lib.valid, jnp.float32)
     nl, p = z.shape
     target = 0.8 * p * capture_spacing * nl
     epochs = int(target // nl)
@@ -74,45 +77,57 @@ def train_variant(lib, n_units, eta, capture_spacing, seed, variant):
     total = epochs * nl + frac_n
 
     key = jax.random.PRNGKey(seed)
-    w = np.asarray(jax.random.normal(key, (n_units, p), jnp.float32)) / np.sqrt(p)
+    w0 = jax.random.normal(key, (n_units, p), jnp.float32) / np.sqrt(p)
     rng = np.random.default_rng(seed + 1000)
 
-    def eta_at(t):
-        if variant == "eta_linear":
-            return eta * max(0.0, 1.0 - t / total)
-        if variant == "eta_exp":
-            return eta * (0.01 ** (t / total))
-        return eta
-
-    def renorm(w):
-        norms = np.linalg.norm(w, axis=1, keepdims=True)
-        return w / np.maximum(norms, 1e-12)
-
-    t = 0
-    for e in range(epochs):
-        order = rng.permutation(nl) if variant == "shuffle" else np.arange(nl)
-        for i in order:
-            h = w @ z[i]
-            hw = h @ w
-            dw = (eta_at(t) / p) * (w - (np.tanh(h) + h)[:, None] * hw[None, :])
-            w = w + valid[i] * dw
-            if variant == "renorm_update":
-                w = renorm(w)
-            t += 1
-        if variant == "renorm_epoch":
-            w = renorm(w)
+    # presentation order [total]
+    chunks = [
+        rng.permutation(nl) if variant == "shuffle" else np.arange(nl)
+        for _ in range(epochs)
+    ]
     if frac_n > 0:
-        step = max(1, nl // frac_n)
-        idx = np.arange(nl)[::step][:frac_n]
-        for i in idx:
-            h = w @ z[i]
+        stride = max(1, nl // frac_n)
+        chunks.append(np.arange(nl)[::stride][:frac_n])
+    order = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+
+    # per-presentation learning rate [total]
+    t = np.arange(total, dtype=np.float32)
+    if variant == "eta_linear":
+        etas = eta * np.maximum(0.0, 1.0 - t / total)
+    elif variant == "eta_exp":
+        etas = eta * (0.01 ** (t / total))
+    else:
+        etas = np.full(total, eta, np.float32)
+
+    # row-renormalization points [total]: every update, or each epoch end
+    if variant == "renorm_update":
+        flags = np.ones(total, bool)
+    elif variant == "renorm_epoch":
+        flags = np.zeros(total, bool)
+        flags[nl - 1 :: nl] = True
+    else:
+        flags = np.zeros(total, bool)
+
+    @jax.jit
+    def train(w0, order, etas, flags):
+        def update(w, xs):
+            i, eta_t, flag = xs
+            zvec = z[i]
+            h = w @ zvec
             hw = h @ w
-            dw = (eta_at(t) / p) * (w - (np.tanh(h) + h)[:, None] * hw[None, :])
+            dw = (eta_t / p) * (w - (jnp.tanh(h) + h)[:, None] * hw[None, :])
             w = w + valid[i] * dw
-            if variant == "renorm_update":
-                w = renorm(w)
-            t += 1
-    w = jnp.asarray(w)
+            norms = jnp.linalg.norm(w, axis=1, keepdims=True)
+            w = jnp.where(flag, w / jnp.maximum(norms, 1e-12), w)
+            return w, None
+
+        w, _ = jax.lax.scan(
+            update, w0,
+            (jnp.asarray(order), jnp.asarray(etas, jnp.float32),
+             jnp.asarray(flags)))
+        return w
+
+    w = train(w0, order, etas, flags)
     return InfomaxPack(w=w, wsum=jnp.sum(w, axis=1)), total
 
 
@@ -150,6 +165,18 @@ def main():
     final, _ = jax.block_until_ready(run_jnp(s0, st))
     emit({"variant": "jnp_reference", "recall": round(float(success_rate(final)), 4)})
 
+    # control validity: the script's generalized trainer at variant='base'
+    # must reproduce the PRODUCTION train_infomax weights
+    from navdv_tpu.familiarity_infomax import train_infomax
+
+    ref = train_infomax(lib, n_units=p, eta=cfg.scan.infomax_eta, epochs=0,
+                        seed=0, capture_spacing=cfg.capture_spacing)
+    got, _ = train_variant(lib, p, cfg.scan.infomax_eta, cfg.capture_spacing,
+                           0, "base")
+    trainer_err = float(jnp.max(jnp.abs(ref.w - got.w)))
+    emit({"variant": "trainer_parity", "max_w_err": trainer_err})
+    assert trainer_err < 1e-4 * float(jnp.max(jnp.abs(ref.w))), trainer_err
+
     run_inf = make_navigate_batch(cfg, fam_impl="infomax")
 
     variants = [
@@ -164,7 +191,9 @@ def main():
         ("units_x2", {"units": 2 * p}),
     ]
     for name, kw in variants:
-        for seed in (0, 1):
+        # 2 seeds for the training-rule variants; 1 for the units ablation
+        # (its question is the trend, and units_x2 doubles the train cost)
+        for seed in ((0,) if name.startswith("units") else (0, 1)):
             units = kw.get("units", cfg.scan.infomax_units or p)
             variant_rule = name if not name.startswith("units") else "base"
             aux, total = train_variant(
