@@ -368,3 +368,30 @@ def test_sweep_cells_over_mesh_resume(small_world, tmp_path):
     assert set(second) == set(first)
     np.testing.assert_array_equal(
         first[victim]["success_rate"], second[victim]["success_rate"])
+
+
+def test_sweep_cells_over_mesh_infomax(small_world, tmp_path):
+    """The learned-memory impl works in cells-over-mesh mode: the prepare
+    stage (Infomax training, a lax.scan) runs inside each vmapped cell, and
+    per-cell recall matches the serial per-cell path."""
+    from navdv_tpu.parallel.mesh import make_mesh
+    from navdv_tpu.sweep import SweepSpec, run_sweep
+
+    landscape, route = small_world
+    spec = SweepSpec(
+        sensor_px=((24, 4, 3),),
+        scan_granularity=((12, 2),),
+        capture_spacing=(1.5, 2.0),
+        n_trials=4,
+        max_steps=16,
+        lib_bucket=16,
+    )
+    serial = run_sweep(landscape, route, spec, str(tmp_path / "serial"),
+                       fam_impl="infomax", verbose=False, tensorboard=False)
+    meshed = run_sweep(landscape, route, spec, str(tmp_path / "mesh"),
+                       fam_impl="infomax", cells_mesh=make_mesh(2, 1),
+                       verbose=False, tensorboard=False)
+    assert set(serial) == set(meshed)
+    for k in serial:
+        np.testing.assert_array_equal(
+            serial[k]["success_rate"], meshed[k]["success_rate"], err_msg=k)
