@@ -132,14 +132,23 @@ def train_variant(lib, n_units, eta, capture_spacing, seed, variant):
 
 
 def main():
+    # route shape selects the REGIME (measured, /tmp probe + this jsonl):
+    # on the curved (sine) route through the same noise world the learned
+    # memory already works (infomax 0.83 vs jnp 0.70); on the straight
+    # (line) route it collapses (0.17 vs jnp 1.00 — the round-4 regime this
+    # artifact exists to attack: a line route's training views share one
+    # heading and translate through decorrelating noise, the near-duplicate
+    # regime of the measured density law). Pass the route kind as argv[1].
+    route_kind = sys.argv[1] if len(sys.argv) > 1 else "sine"
     cfg = baseline_config(1)
     # the AUTO dose path reads capture_spacing through the config; keep the
     # default spacing=1.0 of the round-4 world-dependence measurement
     size = 512
     landscape = jnp.asarray(nav.make_landscape(
         "noise", size=(size, size), seed=7, n_features=150))
-    route = nav.make_route("sine", size=(size, size), margin=60.0,
-                           length=ROUTE_LEN, amplitude=ROUTE_LEN / 8.0)
+    route_kw = {} if route_kind == "line" else {"amplitude": ROUTE_LEN / 8.0}
+    route = nav.make_route(route_kind, size=(size, size), margin=60.0,
+                           length=ROUTE_LEN, **route_kw)
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
     pts, headings = oracle.resample_route(route, cfg.capture_spacing)
@@ -153,7 +162,8 @@ def main():
     rows = []
 
     def emit(row):
-        row.update(world="noise-512", route_arc=round(arc, 1), B=B,
+        row.update(world="noise-512", route=route_kind,
+                   route_arc=round(arc, 1), B=B,
                    n_views=int(lib.views.shape[0]), n_pixels=p)
         rows.append(row)
         with open(OUT, "a") as f:
