@@ -205,6 +205,16 @@ class ScanConfig:
     # is world-dependent (blobs 1.00 / fractal 0.48 / noise 0.27 at AUTO on
     # 512^2 worlds where perfect memory holds 0.94-1.00; no budget rescues
     # the noise world past ~0.56) — gate recall per world before adopting.
+    # Round-5 mitigation sweep (artifacts/infomax_noise.jsonl): the
+    # collapse is specifically the STRAIGHT-route/noise regime (training
+    # views share one heading and translate through decorrelating texture —
+    # the density law's near-duplicate mechanism); none of the literature's
+    # training-rule mitigations rescues it (weight renorm per epoch/update,
+    # linear/exp eta decay, shuffled presentation, units in {P/4..2P}: best
+    # 0.23 vs base 0.17, jnp 1.00 — REFUTED). On heading-diverse (curved)
+    # routes through the same noise world the model WORKS and units < P is
+    # the one positive knob: units=P/4..P/2 -> 0.92 vs base 0.82, vs jnp
+    # 0.70 — there the learned memory beats perfect memory.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0
