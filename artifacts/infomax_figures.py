@@ -101,8 +101,71 @@ def density(path):
     plt.close(fig)
 
 
+
+
+def noise_mitigations(path):
+    """Round-5 mitigation sweep (infomax_noise.jsonl): per-variant recall on
+    the two route regimes through the same 512^2 noise world."""
+    import json
+    import os
+
+    import numpy as np
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "infomax_noise.jsonl")
+    rows = [json.loads(l) for l in open(src)]
+    regimes = {}
+    refs = {}
+    for r in rows:
+        route = r.get("route", "sine")
+        if r["variant"] == "jnp_reference":
+            refs[route] = r["recall"]
+        elif "seed" in r:
+            regimes.setdefault(route, {}).setdefault(
+                r["variant"], []).append(r["recall"])
+
+    fig, axes = plt.subplots(1, 2, figsize=(9.2, 4.2), dpi=150, sharex=True)
+    fig.patch.set_facecolor(SURFACE)
+    titles = {"line": "straight route (61 views, one heading)",
+              "sine": "curved route (78 views, heading-diverse)"}
+    for ax, route in zip(axes, ("line", "sine")):
+        _style(ax)
+        ax.grid(True, axis="x", color="#e5e4e0", lw=0.6)
+        ax.grid(False, axis="y")
+        var_means = {v: float(np.mean(rs))
+                     for v, rs in regimes[route].items()}
+        order = sorted(var_means, key=var_means.get)
+        ys = np.arange(len(order))
+        vals = [var_means[v] for v in order]
+        colors = [S2 if v == "base" else S1 for v in order]
+        ax.barh(ys, vals, height=0.62, color=colors, zorder=2)
+        for y, v in zip(ys, vals):
+            ax.text(v + 0.015, y, f"{v:.2f}", va="center", fontsize=8,
+                    color=TEXT2, zorder=3)
+        ax.axvline(refs[route], color=TEXT2, lw=1.4, ls="--", zorder=1)
+        ax.text(refs[route] - 0.02, -0.62,
+                f"perfect memory {refs[route]:.2f}", fontsize=8,
+                color=TEXT2, ha="right")
+        ax.set_ylim(-0.9, len(order) - 0.4)
+        ax.set_yticks(ys, order, fontsize=8.5)
+        ax.set_xlim(0, 1.12)
+        ax.set_title(titles[route], fontsize=10, color=TEXT)
+        ax.set_xlabel("closed-loop recall (B=64, mean over seeds)",
+                      color=TEXT, fontsize=9)
+    axes[0].text(0.98, 0.18, "no mitigation rescues\nthe collapse",
+                 transform=axes[0].transAxes, ha="right", fontsize=8.5,
+                 color=TEXT2)
+    fig.suptitle("Learned memory on a noise world: mitigations by route "
+                 "regime (orange = production trainer)",
+                 fontsize=11, color=TEXT)
+    fig.tight_layout(rect=(0, 0, 1, 0.94))
+    fig.savefig(path, facecolor=SURFACE)
+    print("wrote", path)
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "artifacts"
     dose_response(f"{out}/infomax_dose_response.png")
     density(f"{out}/infomax_density.png")
+    noise_mitigations(f"{out}/infomax_noise.png")
     print("wrote figures")
