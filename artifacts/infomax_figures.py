@@ -1,12 +1,15 @@
 """Figures for the Infomax training-budget findings (RESULTS.md).
 
-Two PNGs from the committed measurements:
+Three PNGs from the committed measurements:
   - infomax_dose_response.png: closed-loop recall vs training dose in
     updates per ARC-PIXEL (x = total updates / P / arc_px) for three
     workloads — the optima align near 0.8-1.0/px, the AUTO v2 rule.
   - infomax_density.png: recall vs library density (bench trial noise,
     AUTO v2 rows of infomax_density.jsonl) — perfect memory flat at
     ceiling, learned memory declining.
+  - infomax_noise.png: the round-5 mitigation sweep by route regime
+    (infomax_noise.jsonl) — straight-route collapse unrescued, curved-route
+    units<P win.
 
 Data points are the measured values recorded in artifacts/RESULTS.md and
 infomax_density.jsonl (B=64-256 trials per point; ±4-6pp binomial s.e.).
