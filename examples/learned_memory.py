@@ -8,10 +8,14 @@ size (SEMANTICS.md §9). The workflow below trains it, checkpoints the
 few-MB pack, reloads it, and navigates — without the library in device
 memory at recall time.
 
-Two measured caveats from artifacts/RESULTS.md to mind when adopting it:
-recall is a few points below perfect memory under start noise, and the
-model prefers SPARSE capture — don't hand it a dense perfect-memory
-library (artifacts/infomax_density.jsonl).
+Measured guidance from artifacts/RESULTS.md to mind when adopting it:
+the model prefers SPARSE capture (don't hand it a dense perfect-memory
+library — artifacts/infomax_density.jsonl), and its recall is a ROUTE/WORLD
+regime (artifacts/infomax_noise.jsonl): on straight routes through
+high-frequency (noise) worlds it collapses and no training-rule mitigation
+rescues it, while on heading-diverse (curved) routes through the same
+worlds it works and can BEAT perfect memory (0.92 vs 0.70), especially
+with infomax_units at P/4..P/2. Gate recall on your route/world pair.
 
     python examples/learned_memory.py [--out /tmp/navdv_learned]
 """
