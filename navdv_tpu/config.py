@@ -214,7 +214,10 @@ class ScanConfig:
     # 0.23 vs base 0.17, jnp 1.00 — REFUTED). On heading-diverse (curved)
     # routes through the same noise world the model WORKS and units < P is
     # the one positive knob: units=P/4..P/2 -> 0.92 vs base 0.82, vs jnp
-    # 0.70 — there the learned memory beats perfect memory.
+    # 0.70 — there the learned memory beats perfect memory. The units<P
+    # win is SPARSE-capture-specific (0.86-0.92 at spacings >=1.0 but 0.66
+    # at 0.25-0.5 where full units keep 0.70-0.84): keep units=P when
+    # inheriting a dense library.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0
