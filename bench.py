@@ -839,10 +839,24 @@ def main() -> None:
     if _needs_tpu_probe():
         up, attempts, elapsed, detail = _probe_backend_with_retry()
         if not up:
+            extra = {}
+            baseline = load_regression_baseline()
+            prev = baseline.get(
+                (args.config, SPEC_BATCH.get(args.config), None, "tpu"))
+            # impl unknown without resolving; match on any impl for context
+            for (c, b, _impl, dev), v in baseline.items():
+                if c == args.config and b == SPEC_BATCH.get(args.config) \
+                        and dev == "tpu":
+                    prev = v
+                    break
+            if prev is not None:
+                # context only — the capability last measured on the chip
+                # (committed artifact), clearly labeled as not-this-run
+                extra["last_committed_tpu_value"] = prev
             print(_error_line(
                 "tpu_unavailable", probe_attempts=attempts,
                 probe_window_s=round(elapsed, 1), detail=detail,
-                config=args.config), flush=True)
+                config=args.config, **extra), flush=True)
             return
         print(f"[bench probe] backend up after {attempts} attempt(s): {detail}",
               file=sys.stderr, flush=True)
