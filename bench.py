@@ -46,6 +46,11 @@ SPEC_VIEWS = {1: 50, 2: 500, 3: 50, 4: 50}
 # choice was an RTT artifact), config 2 B=512 (292k/300k/269k at
 # 256/512/1024), config 3 B=256 (388k/377k/258k at 256/512/1024).
 SPEC_BATCH = {1: 1024, 2: 512, 3: 256, 4: 1024}
+# headline impls per config — MUST mirror config.baseline_fam_impl (asserted
+# by tests/test_bench_lines.py). Duplicated here because the outage path
+# must not import navdv_tpu (its package __init__ imports jax, which hangs
+# on a down tunnel — the exact failure this path defends against).
+SPEC_IMPL = {1: "fft", 2: "roll", 3: "fft", 4: "fft"}
 
 # ---------------------------------------------------------------------------
 # Outage defense (VERDICT r4 item 1b). Round 4's official record was lost to
@@ -182,6 +187,11 @@ def load_regression_baseline(path: str | None = None) -> dict:
                 except json.JSONDecodeError:
                     continue
                 if rec.get("metric") != "agent-steps/sec/chip":
+                    continue
+                # outage/error lines share the headline metric name but
+                # carry value=null — a committed artifact may contain them
+                # (that is the outage design); never float(None) on them
+                if not isinstance(rec.get("value"), (int, float)):
                     continue
                 key = (rec.get("config"), rec.get("batch"), rec.get("impl"),
                        rec.get("device"))
@@ -833,22 +843,23 @@ def main() -> None:
                          "runs skip the ~30 s first compiles "
                          "(navdv_tpu.utils.compile_cache)")
     args = ap.parse_args()
+    run_defended(args, ap)
 
-    # --- outage defense, layer 1: bounded probe + retry before any jax
-    # import can touch the (possibly down) axon tunnel in this process ---
+
+def run_defended(args, ap) -> None:
+    """The three-layer outage defense wrapped around :func:`_run_cli` —
+    shared by ``python bench.py`` and ``python -m navdv_tpu.cli bench`` so
+    the CLI entry cannot bypass it."""
+    # --- layer 1: bounded probe + retry before any jax import can touch
+    # the (possibly down) axon tunnel in this process ---
     if _needs_tpu_probe():
         up, attempts, elapsed, detail = _probe_backend_with_retry()
         if not up:
             extra = {}
             baseline = load_regression_baseline()
             prev = baseline.get(
-                (args.config, SPEC_BATCH.get(args.config), None, "tpu"))
-            # impl unknown without resolving; match on any impl for context
-            for (c, b, _impl, dev), v in baseline.items():
-                if c == args.config and b == SPEC_BATCH.get(args.config) \
-                        and dev == "tpu":
-                    prev = v
-                    break
+                (args.config, SPEC_BATCH.get(args.config),
+                 SPEC_IMPL.get(args.config), "tpu"))
             if prev is not None:
                 # context only — the capability last measured on the chip
                 # (committed artifact), clearly labeled as not-this-run
@@ -861,11 +872,14 @@ def main() -> None:
         print(f"[bench probe] backend up after {attempts} attempt(s): {detail}",
               file=sys.stderr, flush=True)
 
-    # --- layer 2: watchdog for a mid-run tunnel death (hang -> rc 124 with
-    # an empty tail is exactly round 4's MULTICHIP failure mode) ---
-    budget = float(os.environ.get(
-        "NAVDV_BENCH_BUDGET_S", "3300" if args.all else "1200"))
-    _arm_watchdog(budget, context="--all" if args.all else f"config {args.config}")
+        # --- layer 2: watchdog for a MID-run tunnel death (hang -> rc 124
+        # with an empty tail is exactly round 4's MULTICHIP failure mode).
+        # Armed only for TPU runs: a CPU-forced fallback run is legitimately
+        # 100-1000x slower and must not be os._exit'd by a TPU-sized budget.
+        budget = float(os.environ.get(
+            "NAVDV_BENCH_BUDGET_S", "3300" if args.all else "1200"))
+        _arm_watchdog(budget,
+                      context="--all" if args.all else f"config {args.config}")
 
     # --- layer 3: structured line instead of a raw traceback on any error ---
     try:

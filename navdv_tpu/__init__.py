@@ -12,50 +12,55 @@ Layer map (SURVEY.md §1):
   L3 agent loop  -> :mod:`navdv_tpu.agent`
   L4 sweeps      -> :mod:`navdv_tpu.sweep`
   L5 viz         -> :mod:`navdv_tpu.viz`
+
+The package exports resolve LAZILY (PEP 562): ``import navdv_tpu`` touches no
+JAX until an attribute is first used. This is deliberate outage engineering —
+on this environment a down axon tunnel hangs ``import jax`` at backend
+registration, and eager re-exports would hang every entry point (including
+``python -m navdv_tpu.cli``) before any probe/defense code could run
+(round-4 postmortem; bench.py's layer-1 probe relies on this).
 """
 
-from navdv_tpu.config import (
-    AgentConfig,
-    ScanConfig,
-    SensorConfig,
-    SimConfig,
-    baseline_config,
-)
-from navdv_tpu.landscape import make_landscape
-from navdv_tpu.routes import make_route
-from navdv_tpu.training import train_library
-from navdv_tpu.agent import (
-    init_state,
-    make_navigate,
-    make_navigate_batch,
-    make_statics,
-    navigate,
-    step,
-)
-from navdv_tpu.metrics import episode_metrics, success_rate
-from navdv_tpu.simulator import NavigationResult, NavigationSimulator
-from navdv_tpu.trials import make_trials
+from __future__ import annotations
+
+import importlib
 
 __version__ = "0.1.0"
 
-__all__ = [
-    "AgentConfig",
-    "ScanConfig",
-    "SensorConfig",
-    "SimConfig",
-    "baseline_config",
-    "make_landscape",
-    "make_route",
-    "train_library",
-    "init_state",
-    "make_navigate",
-    "make_navigate_batch",
-    "make_statics",
-    "make_trials",
-    "NavigationResult",
-    "NavigationSimulator",
-    "navigate",
-    "step",
-    "episode_metrics",
-    "success_rate",
-]
+# attribute -> defining submodule (the public surface; mirrors __all__)
+_EXPORTS = {
+    "AgentConfig": "navdv_tpu.config",
+    "ScanConfig": "navdv_tpu.config",
+    "SensorConfig": "navdv_tpu.config",
+    "SimConfig": "navdv_tpu.config",
+    "baseline_config": "navdv_tpu.config",
+    "make_landscape": "navdv_tpu.landscape",
+    "make_route": "navdv_tpu.routes",
+    "train_library": "navdv_tpu.training",
+    "init_state": "navdv_tpu.agent",
+    "make_navigate": "navdv_tpu.agent",
+    "make_navigate_batch": "navdv_tpu.agent",
+    "make_statics": "navdv_tpu.agent",
+    "navigate": "navdv_tpu.agent",
+    "step": "navdv_tpu.agent",
+    "episode_metrics": "navdv_tpu.metrics",
+    "success_rate": "navdv_tpu.metrics",
+    "NavigationResult": "navdv_tpu.simulator",
+    "NavigationSimulator": "navdv_tpu.simulator",
+    "make_trials": "navdv_tpu.trials",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'navdv_tpu' has no attribute {name!r}")
+    value = getattr(importlib.import_module(mod), name)
+    globals()[name] = value  # cache: subsequent lookups skip __getattr__
+    return value
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

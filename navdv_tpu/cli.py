@@ -91,9 +91,10 @@ def cmd_bench(args) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
-    # delegate to bench's own CLI body so the --all sequence, the per-line
-    # ok/gate invariant, and the cross-round regression guard live in ONE
-    # place (they drifted apart when cli.py carried its own copy)
+    # delegate to bench's defended CLI body so the --all sequence, the
+    # per-line ok/gate invariant, the regression guard AND the three-layer
+    # outage defense (probe/watchdog/structured-error) live in ONE place —
+    # this entry point must not reintroduce the round-4 hang-on-dead-tunnel
     import argparse
 
     ns = argparse.Namespace(
@@ -102,7 +103,7 @@ def cmd_bench(args) -> None:
         repeats=args.repeats, land_kind=args.land_kind, all=args.all,
         big_landscape=0, big_kind="fractal", jax_cache=None,
     )
-    bench._run_cli(ns, argparse.ArgumentParser())
+    bench.run_defended(ns, argparse.ArgumentParser())
 
 
 def _load_world(args, size):

@@ -413,12 +413,16 @@ def _run_sweep_cells_mesh(
     )
     from navdv_tpu.training import train_library
 
+    from navdv_tpu.oracle import resample_route
+
     os.makedirs(out_dir, exist_ok=True)
     land_dev = jnp.asarray(landscape)
     n_data = cells_mesh.shape[DATA_AXIS]
     all_results = {}
 
-    # pass 1: resume hits + per-cell library training + program grouping
+    # pass 1: resume hits + program grouping. Grouping needs only the view
+    # COUNT (resample_route, host-side) — library training is deferred to
+    # pass 2 so device memory scales with one group, not the whole grid.
     groups: dict = {}
     for idx, (key, cfg, params) in enumerate(spec.cells()):
         if shard is not None and idx % shard[1] != shard[0]:
@@ -430,30 +434,45 @@ def _run_sweep_cells_mesh(
                 print(f"[sweep] {key}: resumed from disk")
             continue
         impl = choose_fam_impl(cfg) if fam_impl == "auto" else fam_impl
-        lib = train_library(land_dev, route, cfg, pad_views_to=spec.lib_bucket)
-        n_views_true = int(lib.views.shape[0])
+        pts, _ = resample_route(
+            np.asarray(route, np.float64), cfg.capture_spacing)
+        n_views_true = len(pts)  # == train_library's count (training.py)
+        nl_padded = n_views_true
         if spec.lib_bucket > 1:
-            lib = pad_library(lib, spec.lib_bucket)
+            nl_padded += (-n_views_true) % spec.lib_bucket
         if impl == "infomax":
             cfg = resolve_infomax_epochs(cfg, n_views_true)
         strip = not (impl == "infomax" and cfg.scan.infomax_epochs == 0)
         cfg_key = dataclasses.replace(cfg, capture_spacing=0.0) if strip else cfg
-        gkey = (cfg_key, impl, tuple(lib.views.shape))
-        starts, thetas = make_trials(
-            route, cfg, spec.n_trials, seed=spec.seed,
-            start_anywhere=spec.start_anywhere,
-        )
-        groups.setdefault(gkey, []).append(
-            (key, cfg, params, lib, init_state(starts, thetas), n_views_true)
-        )
+        gkey = (cfg_key, impl, nl_padded)
+        groups.setdefault(gkey, []).append((key, cfg, params, n_views_true))
 
-    # pass 2: one SPMD program per group
-    for (cfg_key, impl, lib_shape), cells in groups.items():
+    if groups and max(len(c) for c in groups.values()) == 1 and n_data > 1:
+        logger.warning(
+            "cells_mesh: every cell is alone in its traced-program group, so "
+            "each group pads to %d replicated copies — (N-1)/N of the compute "
+            "is wasted. Set SweepSpec.lib_bucket so spacing-only cells share "
+            "a library shape (CLI: --lib-bucket).", n_data)
+
+    # pass 2: one SPMD program per group (train + stack this group only)
+    for (cfg_key, impl, nl_padded), cells in groups.items():
         cfg_repr = cells[0][1]
         c_true = len(cells)
         pad_n = (-c_true) % n_data
-        libs = [c[3] for c in cells] + [cells[-1][3]] * pad_n
-        states = [c[4] for c in cells] + [cells[-1][4]] * pad_n
+        libs, states = [], []
+        for key, cfg, params, n_views_true in cells:
+            lib = train_library(land_dev, route, cfg,
+                                pad_views_to=spec.lib_bucket)
+            if spec.lib_bucket > 1:
+                lib = pad_library(lib, spec.lib_bucket)
+            libs.append(lib)
+            starts, thetas = make_trials(
+                route, cfg, spec.n_trials, seed=spec.seed,
+                start_anywhere=spec.start_anywhere,
+            )
+            states.append(init_state(starts, thetas))
+        libs += [libs[-1]] * pad_n
+        states += [states[-1]] * pad_n
         lib_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *libs)
         states0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         shared = make_statics(land_dev, libs[0], route)._replace(lib=None)
@@ -465,11 +484,11 @@ def _run_sweep_cells_mesh(
         out = jax.block_until_ready(nav_cells(states0, lib_stack, shared))
         wall = time.perf_counter() - t0
         group_steps = float(np.sum(np.asarray(out["executed_steps"])[:c_true]))
-        for i, (key, cfg, params, lib, _, n_views_true) in enumerate(cells):
+        for i, (key, cfg, params, n_views_true) in enumerate(cells):
             res = {k: np.asarray(v[i]) for k, v in out.items()}
             res.update(
                 n_library_views=np.asarray(n_views_true),
-                n_library_padded=np.asarray(lib.views.shape[0]),
+                n_library_padded=np.asarray(libs[i].views.shape[0]),
                 n_trials=np.asarray(spec.n_trials),
                 wall_s=np.asarray(wall),
                 warmup_s=np.asarray(warmup_s),

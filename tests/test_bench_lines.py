@@ -89,6 +89,11 @@ def test_probe_gating_respects_env(monkeypatch):
     assert not bench._needs_tpu_probe()
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/.axon_site"),
+    reason="poisoned PALLAS_AXON_POOL_IPS only bites where the axon "
+           "sitecustomize is installed; elsewhere jax falls back to CPU",
+)
 def test_probe_detects_dead_tunnel_fast(monkeypatch):
     # a subprocess probe against a poisoned pool IP must FAIL (bounded),
     # not hang the parent — the round-4 failure mode
@@ -97,6 +102,16 @@ def test_probe_detects_dead_tunnel_fast(monkeypatch):
     up, detail = bench._probe_backend_once(timeout_s=8.0)
     assert not up
     assert detail
+
+
+def test_spec_impl_mirrors_baseline_fam_impl():
+    # SPEC_IMPL is duplicated in bench.py because the outage path cannot
+    # import navdv_tpu (package __init__ imports jax -> hangs on a down
+    # tunnel); this pins the duplicate to the source of truth
+    from navdv_tpu.config import baseline_fam_impl
+
+    for n, impl in bench.SPEC_IMPL.items():
+        assert impl == baseline_fam_impl(n), n
 
 
 def test_regression_guard_flags_drop_and_passes_within_tol():
