@@ -395,3 +395,28 @@ def test_sweep_cells_over_mesh_infomax(small_world, tmp_path):
     for k in serial:
         np.testing.assert_array_equal(
             serial[k]["success_rate"], meshed[k]["success_rate"], err_msg=k)
+
+
+def test_sweep_cells_over_mesh_warns_on_singleton_groups(small_world, tmp_path, caplog):
+    """Without lib_bucket every cell's library shape is unique, so each cell
+    groups alone and pads to N replicated copies — the runner must say so
+    instead of silently wasting (N-1)/N of the mesh."""
+    import logging
+
+    from navdv_tpu.parallel.mesh import make_mesh
+    from navdv_tpu.sweep import SweepSpec, run_sweep
+
+    landscape, route = small_world
+    spec = SweepSpec(
+        sensor_px=((24, 4, 3),),
+        scan_granularity=((12, 2),),
+        capture_spacing=(1.5, 2.0),
+        n_trials=4,
+        max_steps=8,
+        lib_bucket=0,
+    )
+    with caplog.at_level(logging.WARNING, logger="navdv_tpu.sweep"):
+        run_sweep(landscape, route, spec, str(tmp_path / "s"),
+                  cells_mesh=make_mesh(2, 1), verbose=False,
+                  tensorboard=False)
+    assert any("lib_bucket" in r.message for r in caplog.records)
