@@ -215,9 +215,11 @@ class ScanConfig:
     # routes through the same noise world the model WORKS and units < P is
     # the one positive knob: units=P/4..P/2 -> 0.92 vs base 0.82, vs jnp
     # 0.70 — there the learned memory beats perfect memory. The units<P
-    # win is SPARSE-capture-specific (0.86-0.92 at spacings >=1.0 but 0.66
-    # at 0.25-0.5 where full units keep 0.70-0.84): keep units=P when
-    # inheriting a dense library.
+    # win is SPARSE-capture-specific AND seed-variable (two net seeds:
+    # +11pp to -1pp at spacing 1.0; consistently -7 to -31pp at dense
+    # 0.25-0.5 where full units hold 0.77-0.84): treat units<P as a
+    # throughput/memory knob, recall-gate it on your workload, and keep
+    # units=P when inheriting a dense library.
     infomax_units: int = 0
     infomax_eta: float = 0.1
     infomax_epochs: int = 0
