@@ -213,8 +213,9 @@ class ScanConfig:
     # linear/exp eta decay, shuffled presentation, units in {P/4..2P}: best
     # 0.23 vs base 0.17, jnp 1.00 — REFUTED). On heading-diverse (curved)
     # routes through the same noise world the model WORKS and units < P is
-    # the one positive knob: units=P/4..P/2 -> 0.92 vs base 0.82, vs jnp
-    # 0.70 — there the learned memory beats perfect memory. The units<P
+    # the one positive knob: units=P/4..P/2 -> mean 0.87-0.89 over two net
+    # seeds (0.92/0.81, 0.92/0.86) vs base 0.82, vs jnp 0.70 — there the
+    # learned memory beats perfect memory. The units<P
     # win is SPARSE-capture-specific AND seed-variable (two net seeds:
     # +11pp to -1pp at spacing 1.0; consistently -7 to -31pp at dense
     # 0.25-0.5 where full units hold 0.77-0.84): treat units<P as a
