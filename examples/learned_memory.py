@@ -14,8 +14,8 @@ library — artifacts/infomax_density.jsonl), and its recall is a ROUTE/WORLD
 regime (artifacts/infomax_noise.jsonl): on straight routes through
 high-frequency (noise) worlds it collapses and no training-rule mitigation
 rescues it, while on heading-diverse (curved) routes through the same
-worlds it works and can BEAT perfect memory (0.82-0.92 vs 0.70), and
-with infomax_units at P/4..P/2. Gate recall on your route/world pair.
+worlds it works and can BEAT perfect memory (0.82-0.92 vs 0.70, best
+with infomax_units at P/4..P/2). Gate recall on your route/world pair.
 
     python examples/learned_memory.py [--out /tmp/navdv_learned]
 """
