@@ -43,6 +43,8 @@ def train_library(
     route: np.ndarray,
     cfg: SimConfig,
     pad_views_to: int = 0,
+    heading_jitter: float = 0.0,
+    jitter_seed: int = 0,
 ) -> LibraryPack:
     """Capture one view per resampled route point (heading = tangent) and pack.
 
@@ -54,8 +56,28 @@ def train_library(
     returned library is identical, but sweeps whose cells differ only in
     library size then reuse ONE capture-render compilation
     (SweepSpec.lib_bucket wires this through).
+
+    ``heading_jitter`` (radians) adds seeded uniform(-j, +j) noise to each
+    capture heading. NOT for perfect-memory libraries (it corrupts the
+    metric's training views); it exists for the learned memory's measured
+    straight-route mitigation (artifacts/infomax_heading_jitter.jsonl):
+    training views captured along a straight route share one heading, the
+    regime where fam_impl="infomax" collapses (recall 0.17 vs jnp 1.0 on
+    the noise world), and a SEPARATE jitter-captured library used only for
+    the prepare stage recovers 2.5-4x recall at j=0.2-0.4 (0.45-0.72,
+    seed-variable; j=0.8 destroys the route signal — rotation suppression
+    erases the discrimination the scan needs). Recipe::
+
+        lib_j = train_library(land, route, cfg, heading_jitter=0.3)
+        run = make_navigate_batch(cfg, fam_impl="infomax")
+        aux = run.prepare(make_statics(land, lib_j, route))  # train jittered
+        final, rec = run(states0, st, aux)                   # navigate normal
     """
     pts, headings = resample_route(np.asarray(route, dtype=np.float64), cfg.capture_spacing)
+    if heading_jitter:
+        jr = np.random.default_rng(jitter_seed)
+        headings = headings + jr.uniform(
+            -heading_jitter, heading_jitter, size=len(headings))
     render_many = _capture_renderer(cfg.sensor)
     pts_d = jnp.asarray(pts, dtype=jnp.float32)
     hd_d = jnp.asarray(headings, dtype=jnp.float32)

@@ -420,3 +420,25 @@ def test_sweep_cells_over_mesh_warns_on_singleton_groups(small_world, tmp_path, 
                   cells_mesh=make_mesh(2, 1), verbose=False,
                   tensorboard=False)
     assert any("lib_bucket" in r.message for r in caplog.records)
+
+
+def test_train_library_heading_jitter(small_cfg, small_world):
+    """heading_jitter: seeded, off by default, and changes only the capture
+    headings (the learned-memory straight-route mitigation; the recipe
+    trains on a jittered library and navigates with the normal one)."""
+    import jax.numpy as jnp
+
+    from navdv_tpu.training import train_library
+
+    landscape, route = small_world
+    land = jnp.asarray(landscape)
+    base = train_library(land, route, small_cfg)
+    zero = train_library(land, route, small_cfg, heading_jitter=0.0)
+    np.testing.assert_array_equal(np.asarray(base.views), np.asarray(zero.views))
+    j1 = train_library(land, route, small_cfg, heading_jitter=0.3, jitter_seed=1)
+    j1b = train_library(land, route, small_cfg, heading_jitter=0.3, jitter_seed=1)
+    j2 = train_library(land, route, small_cfg, heading_jitter=0.3, jitter_seed=2)
+    assert j1.views.shape == base.views.shape
+    np.testing.assert_array_equal(np.asarray(j1.views), np.asarray(j1b.views))
+    assert not np.array_equal(np.asarray(j1.views), np.asarray(base.views))
+    assert not np.array_equal(np.asarray(j1.views), np.asarray(j2.views))
