@@ -12,8 +12,10 @@ Measured guidance from artifacts/RESULTS.md to mind when adopting it:
 the model prefers SPARSE capture (don't hand it a dense perfect-memory
 library — artifacts/infomax_density.jsonl), and its recall is a ROUTE/WORLD
 regime (artifacts/infomax_noise.jsonl): on straight routes through
-high-frequency (noise) worlds it collapses and no training-rule mitigation
-rescues it, while on heading-diverse (curved) routes through the same
+high-frequency (noise) worlds it collapses — no training-RULE mitigation
+rescues it, though training on a heading-jittered capture library recovers
+much of it (train_library(heading_jitter=0.2..0.4) — see its docstring
+recipe) — while on heading-diverse (curved) routes through the same
 worlds it works and can BEAT perfect memory (0.82-0.92 vs 0.70, best
 with infomax_units at P/4..P/2). Gate recall on your route/world pair.
 

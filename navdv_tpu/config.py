@@ -211,7 +211,10 @@ class ScanConfig:
     # the density law's near-duplicate mechanism); none of the literature's
     # training-rule mitigations rescues it (weight renorm per epoch/update,
     # linear/exp eta decay, shuffled presentation, units in {P/4..2P}: best
-    # 0.23 vs base 0.17, jnp 1.00 — REFUTED). On heading-diverse (curved)
+    # 0.23 vs base 0.17, jnp 1.00 — REFUTED). The one working mitigation is
+    # CAPTURE-side: train on a heading-jittered library (0.17 -> 0.45-0.72
+    # at +-0.2-0.4 rad; train_library(heading_jitter=...) documents the
+    # separate-training-library recipe and the +-0.8 failure). On heading-diverse (curved)
     # routes through the same noise world the model WORKS and units < P is
     # the one positive knob: units=P/4..P/2 -> mean 0.87-0.89 over two net
     # seeds (0.92/0.81, 0.92/0.86) vs base 0.82, vs jnp 0.70 — there the
