@@ -11,6 +11,13 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p artifacts/tpu_queue_done
 LOG=artifacts/tpu_queue.log
+# One queue pass at a time: two concurrent passes would share the single
+# chip and corrupt every timing.
+exec 9>artifacts/tpu_queue_done/.lock
+if ! flock -n 9; then
+  echo "another queue pass holds the lock; exiting $(date -u +%FT%TZ)" >> "$LOG"
+  exit 4
+fi
 mark() { touch "artifacts/tpu_queue_done/$1"; }
 done_p() { [ -f "artifacts/tpu_queue_done/$1" ]; }
 
