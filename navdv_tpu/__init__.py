@@ -11,7 +11,7 @@ Layer map (SURVEY.md §1):
   L2 familiarity -> :mod:`navdv_tpu.familiarity` (+ :mod:`navdv_tpu.ops` Pallas)
   L3 agent loop  -> :mod:`navdv_tpu.agent`
   L4 sweeps      -> :mod:`navdv_tpu.sweep`
-  L5 viz         -> :mod:`navdv_tpu.viz`
+  L5 viz         -> :mod:`navdv_tpu.viz` + :mod:`navdv_tpu.analysis`
 
 The package exports resolve LAZILY (PEP 562): ``import navdv_tpu`` touches no
 JAX until an attribute is first used. This is deliberate outage engineering —
@@ -43,6 +43,9 @@ _EXPORTS = {
     "make_statics": "navdv_tpu.agent",
     "navigate": "navdv_tpu.agent",
     "step": "navdv_tpu.agent",
+    "familiarity_map": "navdv_tpu.analysis",
+    "make_familiarity_probe": "navdv_tpu.analysis",
+    "ridf": "navdv_tpu.analysis",
     "episode_metrics": "navdv_tpu.metrics",
     "success_rate": "navdv_tpu.metrics",
     "NavigationResult": "navdv_tpu.simulator",

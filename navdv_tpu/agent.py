@@ -227,6 +227,22 @@ def _make_lib_min(cfg: SimConfig, fam_impl: str):
 FAM_CHUNK_ELEMS = 2 << 20
 
 
+def _step_from_fam(fam_of, decide):
+    """Assemble a batched step from its familiarity stage.
+
+    ``step.fam`` exposes the pre-argmin familiarity ``fam_of(states, st,
+    aux) -> [B, Nh]`` so analysis tooling (RIDF curves, familiarity maps —
+    :mod:`navdv_tpu.analysis`) probes the EXACT production pipeline,
+    including the library-axis ``pmin`` collective when sharded.
+    """
+
+    def step(states: AgentState, st: EpisodeStatics, aux=None):
+        return decide(states, fam_of(states, st, aux), st)
+
+    step.fam = fam_of
+    return step
+
+
 def make_step_batched(
     cfg: SimConfig, fam_impl: str = "jnp", lib_axis: str | None = None
 ):
@@ -304,14 +320,14 @@ def make_step_batched(
 
         fam_conv = make_fam_conv(cfg.sensor, cfg.scan)
 
-        def step(states: AgentState, st: EpisodeStatics, aux=None):
+        def fam_of(states: AgentState, st: EpisodeStatics, aux=None):
             pano = render_b(st.landscape, states.xy, states.theta)
             fam = fam_conv(pano, st.lib)
             if lib_axis is not None:
                 fam = jax.lax.pmin(fam, lib_axis)  # min commutes with pooling
-            return decide(states, fam, st)
+            return fam
 
-        return step
+        return _step_from_fam(fam_of, decide)
 
     if fam_impl in ("fft", "roll"):
         # extraction-free paths: the whole lag scan straight from the pooled
@@ -367,7 +383,7 @@ def make_step_batched(
                 f_bins = lib_min_fft.forward_mats.shape[1] // 2
                 n_lags = len(lags)
 
-                def step(states: AgentState, st: EpisodeStatics, aux=None):
+                def fam_of(states: AgentState, st: EpisodeStatics, aux=None):
                     spec, k, rowsum, rowsq = render_fused(
                         st.landscape, states.xy, states.theta
                     )
@@ -385,9 +401,9 @@ def make_step_batched(
                     )
                     if lib_axis is not None:
                         m = jax.lax.pmin(m, lib_axis)
-                    fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
-                    return decide(states, fam, st)
+                    return jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
 
+                step = _step_from_fam(fam_of, decide)
                 step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
                 return step
 
@@ -401,7 +417,7 @@ def make_step_batched(
                 pano = render_b(st.landscape, states.xy, states.theta)
                 return pooled_f(pano), None
 
-        def step(states: AgentState, st: EpisodeStatics, aux=None):
+        def fam_of(states: AgentState, st: EpisodeStatics, aux=None):
             s, k = render_front(states, st)  # s: pooled [B, R, A]
             if k is None:
                 lag_sum, lag_sq = lag_stats_f(s)
@@ -411,13 +427,13 @@ def make_step_batched(
                 m = lib_min_fft(s, st.lib, lag_sum, lag_sq, aux=aux, roll_k=k)
             if lib_axis is not None:
                 m = jax.lax.pmin(m, lib_axis)
-            fam = jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
-            return decide(states, fam, st)
+            return jnp.min(m[:, window_idx_f], axis=2)  # [B, Nh]
 
         # per-episode library preprocessing (pre-rolled / spectral library):
         # make_navigate_batch_fn runs it ONCE before the scan — XLA's
         # loop-invariant code motion declined to hoist it (profiled 66
         # us/step of rebuilt rolled library at BASELINE config 2)
+        step = _step_from_fam(fam_of, decide)
         step.lib_prepare = lambda st: lib_min_fft.prepare(st.lib)
         return step
 
@@ -440,7 +456,7 @@ def make_step_batched(
     ]
     window_idx_dev = jnp.asarray(window_idx)  # [Nh, 2t+1]
 
-    def step(states: AgentState, st: EpisodeStatics, aux=None):
+    def fam_of(states: AgentState, st: EpisodeStatics, aux=None):
         pano = render_b(st.landscape, states.xy, states.theta)  # [B, R, A]
         s = pooled(pano)  # [B, R, A]
         lag_sum, lag_sq = lag_stats(s)  # [B, L] each
@@ -453,9 +469,9 @@ def make_step_batched(
             # per-library-shard partial minima -> pmin across shards: the
             # system's one collective (SURVEY.md §2.3/§5.8)
             m = jax.lax.pmin(m, lib_axis)
-        fam = jnp.min(m[:, window_idx_dev], axis=2)  # [B, Nh]
-        return decide(states, fam, st)
+        return jnp.min(m[:, window_idx_dev], axis=2)  # [B, Nh]
 
+    step = _step_from_fam(fam_of, decide)
     lm_prepare = getattr(lib_min, "prepare", None)
     if lm_prepare is not None:  # infomax: train the network once per library
         step.lib_prepare = lambda st: lm_prepare(st.lib)

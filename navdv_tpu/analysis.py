@@ -1,0 +1,190 @@
+"""L5 analysis: RIDF curves and spatial familiarity maps (catchment areas).
+
+The scene-familiarity literature's two standard diagnostics (SURVEY.md §1
+L5, §0.2 [LIT] — Zeil et al. 2003 "Catchment areas of panoramic snapshots
+in outdoor scenes"; Baddeley et al. 2012):
+
+- **RIDF** (rotational image difference function): image distance vs
+  rotation at a fixed pose. Its valley depth/width IS the navigable signal
+  the per-step heading scan exploits; a flat RIDF predicts recall failure
+  (the "flat valley" worlds measured in artifacts/RESULTS.md).
+- **Familiarity map / catchment area**: best-over-headings familiarity and
+  the preferred absolute heading on a position grid around the route — the
+  region whose familiarity gradient leads back to the route is the
+  snapshot's catchment area.
+
+Both probe the EXACT production familiarity stage
+(:func:`navdv_tpu.agent.make_step_batched`'s ``step.fam`` — renderer, lag
+dedup, metric, RIDF pooling, precision knobs, library-axis ``pmin`` when
+sharded), so what is plotted is what the agent computes, for every
+``fam_impl`` including the learned infomax memory. The map is one giant
+batched familiarity evaluation — grid cells play the role of agents, i.e.
+the bench hot path at B = grid size; on TPU a 10⁴-position map is a few
+episode-steps' worth of work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navdv_tpu.agent import EpisodeStatics, init_state, make_statics, make_step_batched
+from navdv_tpu.config import SimConfig
+from navdv_tpu.familiarity import LibraryPack
+from navdv_tpu.sensor import scan_shift_sets
+
+__all__ = [
+    "full_circle_scan",
+    "make_familiarity_probe",
+    "ridf",
+    "familiarity_map",
+]
+
+
+def full_circle_scan(cfg: SimConfig) -> SimConfig:
+    """``cfg`` with the heading scan widened to the full azimuth circle.
+
+    One candidate per fine bin (``n_headings = n_fine``, ``scan_step_bins =
+    1``) and no RIDF tolerance pooling — the full-circle scan is itself the
+    rotation function, so pooling would only blur it. Metric and precision
+    knobs are preserved.
+    """
+    scan = dataclasses.replace(
+        cfg.scan,
+        n_headings=cfg.sensor.n_fine,
+        scan_step_bins=1,
+        tol_bins=0,
+    )
+    return dataclasses.replace(cfg, scan=scan)
+
+
+def make_familiarity_probe(cfg: SimConfig, fam_impl: str = "auto"):
+    """Batched familiarity probe over the production pipeline.
+
+    Returns ``probe(xy[B, 2], theta[B], st, aux=None) -> fam[B, Nh]`` (jitted)
+    with two attributes:
+
+    - ``probe.angles``: ``f32[Nh]`` candidate rotations relative to ``theta``
+      (radians, ascending; candidate k's absolute heading is
+      ``theta + angles[k]``);
+    - ``probe.prepare``: per-library preprocessing (``st -> aux``) for impls
+      that need it (fft/roll spectra, the trained infomax network), or None.
+    """
+    step = make_step_batched(cfg, fam_impl)
+    fam_of = step.fam
+    shifts, _ = scan_shift_sets(cfg.scan)
+    angles = np.asarray(shifts, dtype=np.float32) * cfg.sensor.bin_width
+
+    @jax.jit
+    def probe(xy, theta, st: EpisodeStatics, aux=None):
+        return fam_of(init_state(xy, theta), st, aux)
+
+    probe.angles = angles
+    probe.prepare = getattr(step, "lib_prepare", None)
+    return probe
+
+
+_DUMMY_ROUTE = np.array([[0.0, 0.0], [1.0, 1.0]])  # fam never reads the route
+
+
+def ridf(
+    landscape,
+    lib: LibraryPack,
+    xy,
+    theta,
+    cfg: SimConfig,
+    *,
+    fam_impl: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full-circle RIDF at one pose or a batch of poses.
+
+    Returns ``(angles[Nh], fam[..., Nh])``: familiarity (min image distance
+    over the library, by ``cfg.scan.metric``) at each rotation of the view
+    captured at ``(xy, theta)``. ``xy`` may be ``[2]`` or ``[B, 2]`` with
+    matching ``theta``.
+    """
+    xy = np.asarray(xy, dtype=np.float32)
+    single = xy.ndim == 1
+    xy_b = xy[None, :] if single else xy
+    theta_b = np.atleast_1d(np.asarray(theta, dtype=np.float32))
+    probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
+    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    aux = probe.prepare(st) if probe.prepare is not None else None
+    fam = np.asarray(probe(xy_b, theta_b, st, aux))
+    return probe.angles, (fam[0] if single else fam)
+
+
+def familiarity_map(
+    landscape,
+    lib: LibraryPack,
+    cfg: SimConfig,
+    *,
+    stride: float = 8.0,
+    margin: float | None = None,
+    fam_impl: str = "auto",
+    batch: int = 1024,
+) -> dict:
+    """Best-over-headings familiarity on a position grid (catchment map).
+
+    Probes the full heading circle at every grid position (spacing
+    ``stride`` px, keeping ``margin`` px — default the sensor radius, the
+    same bound the agent's off-landscape condition uses — clear of the
+    edges) and reduces to the per-position minimum. Positions are evaluated
+    in fixed-size batches of ``batch`` (one compile; the last batch is
+    padded), each batch one production familiarity evaluation.
+
+    Returns a dict:
+
+    - ``x[nx], y[ny]``: grid coordinates (px);
+    - ``fam[ny, nx]``: best familiarity (lower = more familiar);
+    - ``best_heading[ny, nx]``: the absolute heading (radians) achieving it;
+    - ``angles[Nh]``: the probed heading circle.
+    """
+    land = np.asarray(landscape)
+    if margin is None:
+        margin = float(cfg.sensor.r_max)
+    hl, wl = land.shape
+    xs = np.arange(margin, wl - 1 - margin + 1e-9, stride, dtype=np.float32)
+    ys = np.arange(margin, hl - 1 - margin + 1e-9, stride, dtype=np.float32)
+    if xs.size == 0 or ys.size == 0:
+        raise ValueError(
+            f"no grid positions: landscape {land.shape} leaves no interior at "
+            f"margin {margin} (stride {stride})"
+        )
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # [N, 2]
+    n = pts.shape[0]
+
+    probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
+    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    aux = probe.prepare(st) if probe.prepare is not None else None
+
+    @jax.jit
+    def best_of(xy_b):
+        fam = probe(xy_b, jnp.zeros(xy_b.shape[0], jnp.float32), st, aux)
+        k = jnp.argmin(fam, axis=1)
+        return jnp.take_along_axis(fam, k[:, None], axis=1)[:, 0], k
+
+    best = np.empty(n, dtype=np.float32)
+    best_k = np.empty(n, dtype=np.int32)
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        chunk = pts[lo:hi]
+        if hi - lo < batch:  # pad to the single compiled shape
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch - (hi - lo), axis=0)]
+            )
+        b, k = best_of(jnp.asarray(chunk))
+        best[lo:hi] = np.asarray(b)[: hi - lo]
+        best_k[lo:hi] = np.asarray(k)[: hi - lo]
+
+    return {
+        "x": xs,
+        "y": ys,
+        "fam": best.reshape(len(ys), len(xs)),
+        "best_heading": probe.angles[best_k].reshape(len(ys), len(xs)),
+        "angles": probe.angles,
+    }

@@ -97,6 +97,59 @@ def plot_sweep_heatmap(results: dict, axis_x: str, axis_y: str, path: str) -> st
     return path
 
 
+def plot_ridf(angles, fam, path: str, title: str = "") -> str:
+    """RIDF curve(s): familiarity vs rotation (``analysis.ridf`` output).
+
+    ``fam`` is ``[Nh]`` or ``[B, Nh]``; the x axis is degrees, centered."""
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    deg = np.degrees(np.asarray(angles))
+    fam = np.asarray(fam)
+    for row in fam[None, :] if fam.ndim == 1 else fam[:32]:
+        ax.plot(deg, row, "-", lw=1.2, alpha=0.9 if fam.ndim == 1 else 0.5)
+    ax.axvline(0.0, color="k", lw=0.6, ls=":")
+    ax.set_xlabel("rotation (deg)")
+    ax.set_ylabel("min distance")
+    ax.set_title(title or "rotational image difference function")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_familiarity_map(
+    landscape, route, fmap: dict, path: str, *, quiver: bool = True,
+    title: str = ""
+) -> str:
+    """Catchment-area figure: best familiarity over the position grid
+    (``analysis.familiarity_map`` output), the training route, and optionally
+    the preferred-heading vector field."""
+    fig, ax = plt.subplots(figsize=(7.5, 7))
+    land = np.asarray(landscape)
+    ax.imshow(land, cmap="gray", origin="lower",
+              extent=(0, land.shape[1], 0, land.shape[0]), alpha=0.45)
+    x, y, fam = fmap["x"], fmap["y"], fmap["fam"]
+    # robust scale: isolated unfamiliarity spikes (e.g. positions on top of
+    # features) would otherwise flatten the route-proximal gradient
+    im = ax.imshow(
+        fam, cmap="viridis_r", origin="lower", alpha=0.75,
+        extent=(x[0], x[-1], y[0], y[-1]), aspect="auto",
+        vmin=float(np.min(fam)), vmax=float(np.percentile(fam, 95.0)),
+    )
+    fig.colorbar(im, label="best familiarity (min distance)")
+    if quiver:
+        th = fmap["best_heading"]
+        s = max(1, min(len(x), len(y)) // 24)  # ≤ ~24 arrows per axis
+        gx, gy = np.meshgrid(x[::s], y[::s])
+        ax.quiver(gx, gy, np.cos(th[::s, ::s]), np.sin(th[::s, ::s]),
+                  color="w", scale=40, width=0.0025, alpha=0.85)
+    route = np.asarray(route)
+    ax.plot(route[:, 0], route[:, 1], "c-", lw=2, label="training route")
+    ax.legend(loc="upper right")
+    ax.set_title(title or "familiarity map (catchment area)")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def animate_episode(landscape, route, rec, path: str, fps: int = 20) -> str:
     """Movie of one recall episode (SURVEY.md §1 L5 'movies')."""
     land = np.asarray(landscape)

@@ -1,0 +1,146 @@
+"""L5 analysis tools: RIDF curves + familiarity maps (analysis.py).
+
+Parity anchor: the probe must reproduce the f64 NumPy oracle's
+scan_familiarity through the production pipeline (same tolerances as the
+open-loop step parity test, SURVEY.md §4.4); the RIDF and catchment-map
+properties are the literature's (Zeil 2003) qualitative signatures on a
+world where recall is known to work.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from navdv_tpu import oracle
+from navdv_tpu.agent import make_statics
+from navdv_tpu.analysis import (
+    full_circle_scan,
+    familiarity_map,
+    make_familiarity_probe,
+    ridf,
+)
+from navdv_tpu.training import train_library
+
+
+@pytest.fixture(scope="module")
+def world(request):
+    cfg = request.getfixturevalue("small_cfg")
+    landscape, route = request.getfixturevalue("small_world")
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    return cfg, landscape, route, lib, st
+
+
+def test_full_circle_scan_covers_the_circle(world):
+    cfg, *_ = world
+    fc = full_circle_scan(cfg)
+    assert fc.scan.n_headings == cfg.sensor.n_fine
+    assert fc.scan.scan_step_bins == 1 and fc.scan.tol_bins == 0
+    probe_angles = make_familiarity_probe(fc, "jnp").angles
+    assert probe_angles.shape == (cfg.sensor.n_fine,)
+    assert np.all(np.diff(probe_angles) > 0)
+    assert np.isclose(probe_angles[1] - probe_angles[0], cfg.sensor.bin_width)
+    # spans one full turn (half-open): max - min == 2*pi - bin_width
+    assert np.isclose(
+        probe_angles[-1] - probe_angles[0],
+        2 * np.pi - cfg.sensor.bin_width,
+        atol=1e-6,
+    )
+
+
+def test_probe_matches_oracle_scan(world):
+    """probe == oracle.scan_familiarity at the agent's own scan config."""
+    cfg, landscape, route, lib, st = world
+    olib = oracle.train_library(landscape, route, cfg)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    probe = make_familiarity_probe(cfg, "jnp")
+    idx = [0, len(pts) // 2, len(pts) - 1]
+    xy = np.asarray(pts)[idx] + np.array([0.7, -0.4])  # off-capture poses
+    th = np.asarray(headings)[idx] + 0.1
+    fam = np.asarray(probe(jnp.asarray(xy, jnp.float32),
+                           jnp.asarray(th, jnp.float32), st))
+    for i, (p, t) in enumerate(zip(xy, th)):
+        pano = oracle.render_panorama(landscape, p[0], p[1], t, cfg)
+        want = oracle.scan_familiarity(pano, olib, cfg)
+        np.testing.assert_allclose(fam[i], want, atol=5e-2, rtol=1e-3)
+
+
+def test_probe_impl_consistency(world):
+    """Production impls agree through the probe: roll is matmul-identical to
+    jnp; fft matches within its documented numerical band."""
+    cfg, landscape, route, lib, st = world
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    xy = jnp.asarray(np.asarray(pts)[[1, 3]], jnp.float32)
+    th = jnp.asarray(np.asarray(headings)[[1, 3]] + 0.05, jnp.float32)
+
+    def run(impl):
+        probe = make_familiarity_probe(cfg, impl)
+        aux = probe.prepare(st) if probe.prepare is not None else None
+        return np.asarray(probe(xy, th, st, aux))
+
+    base = run("jnp")
+    np.testing.assert_allclose(run("roll"), base, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(run("fft"), base, atol=5e-2, rtol=1e-3)
+
+
+def test_ridf_minimum_at_capture_pose(world):
+    """At an exact capture pose the RIDF valley bottoms at rotation 0 with
+    ~zero distance (the stored view is the rendered view)."""
+    cfg, landscape, route, lib, st = world
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    i = len(pts) // 2
+    angles, fam = ridf(landscape, lib, pts[i], headings[i], cfg, fam_impl="jnp")
+    assert fam.shape == angles.shape
+    k = int(np.argmin(fam))
+    assert abs(angles[k]) < 1e-6, f"valley at {angles[k]:.3f} rad, not 0"
+    assert fam[k] < 1e-3 * float(np.max(fam))
+    # batched form agrees with the single-pose form
+    angles_b, fam_b = ridf(
+        landscape, lib, np.stack([pts[i], pts[i]]),
+        np.array([headings[i], headings[i]]), cfg, fam_impl="jnp",
+    )
+    np.testing.assert_allclose(fam_b[0], fam, rtol=1e-6)
+    np.testing.assert_allclose(angles_b, angles)
+
+
+def test_familiarity_map_catchment(world):
+    """The map's familiar region hugs the route: on-route grid cells score
+    lower (more familiar) than far-away cells, and the padding path (last
+    batch < batch size) returns the same values as one unpadded pass."""
+    cfg, landscape, route, lib, st = world
+    fmap = familiarity_map(landscape, lib, cfg, stride=12.0, batch=32)
+    ny, nx = len(fmap["y"]), len(fmap["x"])
+    assert fmap["fam"].shape == (ny, nx)
+    assert fmap["best_heading"].shape == (ny, nx)
+    assert np.all(np.isfinite(fmap["fam"]))
+
+    gx, gy = np.meshgrid(fmap["x"], fmap["y"])
+    d = np.array([
+        oracle.point_to_polyline_dist(np.array([x, y]), route)
+        for x, y in zip(gx.ravel(), gy.ravel())
+    ]).reshape(ny, nx)
+    near, far = fmap["fam"][d < 8.0], fmap["fam"][d > 40.0]
+    assert near.size > 0 and far.size > 0
+    assert float(near.mean()) < float(far.mean()), (
+        f"near-route fam {near.mean():.4g} !< far {far.mean():.4g}"
+    )
+
+    # batch-size independence (padding correctness)
+    n = ny * nx
+    fmap2 = familiarity_map(landscape, lib, cfg, stride=12.0, batch=n)
+    np.testing.assert_allclose(fmap2["fam"], fmap["fam"], rtol=1e-6)
+
+
+def test_plots_smoke(world, tmp_path):
+    from navdv_tpu import viz
+
+    cfg, landscape, route, lib, st = world
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    angles, fam = ridf(landscape, lib, pts[0], headings[0], cfg, fam_impl="jnp")
+    p1 = viz.plot_ridf(angles, fam, str(tmp_path / "ridf.png"))
+    fmap = familiarity_map(landscape, lib, cfg, stride=16.0, batch=64)
+    p2 = viz.plot_familiarity_map(landscape, route, fmap,
+                                  str(tmp_path / "fmap.png"))
+    import os
+
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
