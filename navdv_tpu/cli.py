@@ -1,9 +1,10 @@
 """Command-line interface: ``python -m navdv_tpu.cli <command>``.
 
 Commands:
-  demo   train on a route and run batched recall, writing plots (+ movie)
-  bench  the throughput harness (same as repo-root bench.py)
-  sweep  run the BASELINE config-5 parameter grid with on-disk resume
+  demo     train on a route and run batched recall, writing plots (+ movie)
+  bench    the throughput harness (same as repo-root bench.py)
+  sweep    run the BASELINE config-5 parameter grid with on-disk resume
+  analyze  RIDF curve + familiarity/catchment map for a trained route
 """
 
 from __future__ import annotations
@@ -161,6 +162,57 @@ def cmd_sweep(args) -> None:
     print(f"sweep complete: {len(results)} cells -> {args.out}/summary.json")
 
 
+def cmd_analyze(args) -> None:
+    """RIDF + catchment-map diagnostics for a trained route (analysis.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import navdv_tpu as nav
+    from navdv_tpu import oracle, viz
+    from navdv_tpu.analysis import familiarity_map, ridf
+
+    size = (args.size, args.size)
+    landscape = _load_world(args, size)
+    route = nav.make_route(args.route, size=landscape.shape, margin=60.0,
+                           length=args.route_length)
+    cfg = nav.SimConfig()
+    land_dev = jnp.asarray(landscape)
+    lib = nav.train_library(land_dev, route, cfg)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    i = min(max(args.pose_index, 0), len(pts) - 1) if args.pose_index >= 0 \
+        else len(pts) // 2
+    os.makedirs(args.out, exist_ok=True)
+
+    angles, fam = ridf(land_dev, lib, pts[i], headings[i], cfg,
+                       fam_impl=args.impl)
+    k = int(np.argmin(fam))
+    print("wrote", viz.plot_ridf(
+        angles, fam, os.path.join(args.out, "ridf.png"),
+        title=f"RIDF at capture pose {i} (valley "
+              f"{np.degrees(angles[k]):+.1f} deg)"))
+
+    fmap = familiarity_map(land_dev, lib, cfg, stride=args.stride,
+                           fam_impl=args.impl, batch=args.batch)
+    print("wrote", viz.plot_familiarity_map(
+        landscape, route, fmap, os.path.join(args.out, "familiarity_map.png")))
+    with open(os.path.join(args.out, "analysis.json"), "w") as f:
+        json.dump(
+            {
+                "ridf_pose": [float(pts[i][0]), float(pts[i][1]),
+                              float(headings[i])],
+                "ridf_valley_deg": float(np.degrees(angles[k])),
+                "ridf_depth": float(fam[k]) / max(float(np.max(fam)), 1e-30),
+                "map_grid": [len(fmap["y"]), len(fmap["x"])],
+                "map_stride": args.stride,
+                "fam_min": float(fmap["fam"].min()),
+                "fam_max": float(fmap["fam"].max()),
+            },
+            f,
+            indent=2,
+        )
+    print(f"analysis complete -> {args.out}/analysis.json")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="navdv_tpu")
     ap.add_argument("--jax-cache", default=None, metavar="DIR",
@@ -222,6 +274,18 @@ def main(argv=None) -> None:
                         "(0 = off; results are unchanged — padded views "
                         "never win the familiarity min)")
     s.set_defaults(fn=cmd_sweep)
+
+    a = sub.add_parser("analyze",
+                       help="RIDF curve + familiarity/catchment map figures")
+    _add_world_args(a)
+    a.add_argument("--stride", type=float, default=8.0,
+                   help="map grid spacing in px")
+    a.add_argument("--batch", type=int, default=1024,
+                   help="map positions per compiled probe batch")
+    a.add_argument("--pose-index", type=int, default=-1,
+                   help="capture-pose index for the RIDF (-1 = mid-route)")
+    a.add_argument("--out", default="out/analysis")
+    a.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     if args.jax_cache:

@@ -144,3 +144,43 @@ def test_plots_smoke(world, tmp_path):
     import os
 
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_probe_sector_branches(request):
+    """The step.fam exposure covers the sector renderer branches too: the
+    unfused sector path and the fused per-sector-DFT path (u=1) agree with
+    the full-window fft probe at the same poses."""
+    import dataclasses
+
+    from navdv_tpu.config import ScanConfig, SensorConfig, SimConfig
+
+    landscape, route = request.getfixturevalue("small_world")
+    sensor = SensorConfig(
+        n_radial=4, n_azimuth=24, az_upsample=1, r_min=2.0, r_max=8.0
+    )
+    cfg = SimConfig(
+        sensor=sensor,
+        scan=ScanConfig(n_headings=12, scan_step_bins=2, tol_bins=2),
+        capture_spacing=2.0,
+    )
+    cfg_sector = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(sensor, render_mode="sector")
+    )
+    cfg_fused = dataclasses.replace(
+        cfg_sector,
+        scan=dataclasses.replace(cfg.scan, fused_dft_precision="inherit"),
+    )
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    xy = jnp.asarray(np.asarray(pts)[[2, 5]], jnp.float32)
+    th = jnp.asarray(np.asarray(headings)[[2, 5]] + 0.3, jnp.float32)
+
+    def run(c):
+        probe = make_familiarity_probe(c, "fft")
+        aux = probe.prepare(st) if probe.prepare is not None else None
+        return np.asarray(probe(xy, th, st, aux))
+
+    base = run(cfg)
+    np.testing.assert_allclose(run(cfg_sector), base, atol=5e-3)
+    np.testing.assert_allclose(run(cfg_fused), base, atol=5e-3)

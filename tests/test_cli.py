@@ -77,3 +77,19 @@ def test_cli_bench_arg_parity(monkeypatch, capsys):
     assert [kw_["batch"] for kw_ in small] == [1, 16, 64]
     # tiny-batch lines skip the recall gate (no population to gate on)
     assert [kw_["gated"] for kw_ in small] == [False, False, True]
+
+
+def test_cli_analyze(tmp_path):
+    out = str(tmp_path / "analysis")
+    main([
+        "analyze", "--size", "128", "--route", "line", "--route-length", "40",
+        "--stride", "24", "--batch", "16", "--impl", "jnp", "--out", out,
+    ])
+    assert os.path.exists(os.path.join(out, "ridf.png"))
+    assert os.path.exists(os.path.join(out, "familiarity_map.png"))
+    with open(os.path.join(out, "analysis.json")) as f:
+        a = json.load(f)
+    # at an exact capture pose the RIDF valley sits at rotation ~0 and is deep
+    assert abs(a["ridf_valley_deg"]) <= 1.5
+    assert a["ridf_depth"] < 0.05
+    assert a["map_grid"][0] >= 2 and a["map_grid"][1] >= 2
