@@ -41,6 +41,7 @@ __all__ = [
     "make_familiarity_probe",
     "ridf",
     "familiarity_map",
+    "catchment",
 ]
 
 
@@ -187,4 +188,86 @@ def familiarity_map(
         "fam": best.reshape(len(ys), len(xs)),
         "best_heading": probe.angles[best_k].reshape(len(ys), len(xs)),
         "angles": probe.angles,
+    }
+
+
+def catchment(fmap: dict, route, corridor: float = 20.0) -> dict:
+    """Quantify the catchment area of a familiarity map.
+
+    Zeil's operational definition: a position is in the catchment when
+    steepest descent on the (image-)difference surface leads home. Here:
+    from each grid cell, repeatedly step to the lowest-familiarity cell in
+    the 8-neighborhood (strict descent, host-side on the grid) until a
+    local minimum; the start cell is *captured* if its descent path ends
+    within ``corridor`` px of the training route.
+
+    Returns ``{"captured": bool[ny, nx], "fraction": float,
+    "route_dist": f32[ny, nx]}``. ``fraction`` is the captured share of
+    grid cells — a world/route-level predictor of recall difficulty
+    (compare artifacts/RESULTS.md's world-statistics findings).
+    """
+    fam = np.asarray(fmap["fam"], dtype=np.float64)
+    ny, nx = fam.shape
+    gx, gy = np.meshgrid(fmap["x"], fmap["y"])
+    route = np.asarray(route, dtype=np.float64)
+    a, b = route[:-1], route[1:]
+    ab = b - a
+    denom = np.maximum((ab**2).sum(axis=1), 1e-12)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # [N, 2]
+    t = np.clip(
+        ((pts[:, None, :] - a[None]) * ab[None]).sum(-1) / denom, 0.0, 1.0
+    )
+    proj = a[None] + t[..., None] * ab[None]
+    route_dist = np.sqrt(((pts[:, None, :] - proj) ** 2).sum(-1).min(axis=1))
+    route_dist = route_dist.reshape(ny, nx).astype(np.float32)
+
+    # descent successor of every cell: lowest strict-descent 8-neighbor
+    # (-1 = local minimum). Computed once; paths then resolve by pointer
+    # chasing with memoization — O(cells), no per-cell re-simulation.
+    padded = np.full((ny + 2, nx + 2), np.inf)
+    padded[1:-1, 1:-1] = fam
+    neigh = np.stack([
+        padded[1 + dy : 1 + dy + ny, 1 + dx : 1 + dx + nx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    ])  # [8, ny, nx]
+    offsets = np.asarray(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+         if not (dy == 0 and dx == 0)]
+    )
+    kmin = np.argmin(neigh, axis=0)  # [ny, nx]
+    vmin = np.take_along_axis(neigh, kmin[None], axis=0)[0]
+    flat_succ = np.where(
+        vmin < fam,
+        (np.arange(ny)[:, None] + offsets[kmin][..., 0]) * nx
+        + (np.arange(nx)[None, :] + offsets[kmin][..., 1]),
+        -1,
+    ).ravel()
+
+    at_route = (route_dist.ravel() <= corridor)
+    state = np.full(ny * nx, -1, dtype=np.int8)  # -1 unknown, 0 no, 1 yes
+    for i in range(ny * nx):
+        path = []
+        j = i
+        while state[j] == -1:
+            path.append(j)
+            state[j] = -2  # on the current path (cycle guard; strict
+            # descent can't cycle, but inf/NaN plateaus would)
+            nxt = flat_succ[j]
+            if nxt < 0:  # local minimum: captured iff it sits on the route
+                state[j] = 1 if at_route[j] else 0
+                path.pop()
+                break
+            j = nxt
+            if state[j] == -2:  # plateau cycle — treat as not captured
+                state[j] = 0
+        verdict = state[j]
+        for p in path:
+            state[p] = verdict
+    captured = (state == 1).reshape(ny, nx)
+    return {
+        "captured": captured,
+        "fraction": float(captured.mean()),
+        "route_dist": route_dist,
     }

@@ -117,11 +117,12 @@ def plot_ridf(angles, fam, path: str, title: str = "") -> str:
 
 def plot_familiarity_map(
     landscape, route, fmap: dict, path: str, *, quiver: bool = True,
-    title: str = ""
+    captured=None, title: str = ""
 ) -> str:
     """Catchment-area figure: best familiarity over the position grid
-    (``analysis.familiarity_map`` output), the training route, and optionally
-    the preferred-heading vector field."""
+    (``analysis.familiarity_map`` output), the training route, optionally
+    the preferred-heading vector field and the ``analysis.catchment``
+    boundary (``captured`` mask, drawn as a red contour)."""
     fig, ax = plt.subplots(figsize=(7.5, 7))
     land = np.asarray(landscape)
     ax.imshow(land, cmap="gray", origin="lower",
@@ -141,6 +142,10 @@ def plot_familiarity_map(
         gx, gy = np.meshgrid(x[::s], y[::s])
         ax.quiver(gx, gy, np.cos(th[::s, ::s]), np.sin(th[::s, ::s]),
                   color="w", scale=40, width=0.0025, alpha=0.85)
+    if captured is not None:
+        ax.contour(x, y, np.asarray(captured).astype(float), levels=[0.5],
+                   colors="r", linewidths=1.2)
+        ax.plot([], [], "r-", lw=1.2, label="catchment boundary")
     route = np.asarray(route)
     ax.plot(route[:, 0], route[:, 1], "c-", lw=2, label="training route")
     ax.legend(loc="upper right")

@@ -184,3 +184,46 @@ def test_probe_sector_branches(request):
     base = run(cfg)
     np.testing.assert_allclose(run(cfg_sector), base, atol=5e-3)
     np.testing.assert_allclose(run(cfg_fused), base, atol=5e-3)
+
+
+def test_catchment_synthetic():
+    """Descent on a synthetic bowl: a bowl centered on the route captures
+    every cell; moving the bowl far away captures (near) none."""
+    from navdv_tpu.analysis import catchment
+
+    x = np.arange(0.0, 100.0, 4.0, dtype=np.float32)
+    y = np.arange(0.0, 100.0, 4.0, dtype=np.float32)
+    gx, gy = np.meshgrid(x, y)
+
+    def bowl(cx, cy):
+        return {"x": x, "y": y,
+                "fam": ((gx - cx) ** 2 + (gy - cy) ** 2).astype(np.float32)}
+
+    route = np.array([[46.0, 46.0], [50.0, 50.0]])
+    full = catchment(bowl(48.0, 48.0), route, corridor=6.0)
+    assert full["fraction"] == 1.0
+    assert full["captured"].all()
+
+    away = catchment(bowl(90.0, 10.0), route, corridor=6.0)
+    assert away["fraction"] == 0.0
+
+    # route_dist is the exact point-to-polyline distance on the grid
+    i, j = 3, 7
+    from navdv_tpu import oracle
+    want = oracle.point_to_polyline_dist(np.array([x[j], y[i]]), route)
+    np.testing.assert_allclose(full["route_dist"][i, j], want, rtol=1e-5)
+
+
+def test_catchment_on_world(world):
+    """On the test world the captured region is route-proximal: captured
+    cells sit closer to the route on average than uncaptured ones."""
+    from navdv_tpu.analysis import catchment
+
+    cfg, landscape, route, lib, st = world
+    fmap = familiarity_map(landscape, lib, cfg, stride=8.0, batch=64)
+    c = catchment(fmap, route, corridor=10.0)
+    assert 0.0 < c["fraction"] <= 1.0
+    cap, uncap = c["route_dist"][c["captured"]], c["route_dist"][~c["captured"]]
+    assert cap.size > 0
+    if uncap.size:  # tiny worlds can be fully captured
+        assert float(cap.mean()) < float(uncap.mean())
