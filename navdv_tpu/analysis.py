@@ -42,6 +42,7 @@ __all__ = [
     "ridf",
     "familiarity_map",
     "catchment",
+    "heading_error",
 ]
 
 
@@ -189,6 +190,48 @@ def familiarity_map(
         "best_heading": probe.angles[best_k].reshape(len(ys), len(xs)),
         "angles": probe.angles,
     }
+
+
+def heading_error(
+    landscape,
+    lib: LibraryPack,
+    cfg: SimConfig,
+    xy,
+    theta_ref,
+    *,
+    theta_probe=None,
+    fam_impl: str = "auto",
+    full_circle: bool = True,
+) -> np.ndarray:
+    """Open-loop angular error of the familiarity scan at given poses.
+
+    At each pose the scan runs once (no episode) and the selected heading —
+    argmin with the production tie-break, SEMANTICS.md §5 — is compared to
+    the reference heading ``theta_ref`` (typically the route tangent).
+    Returns the signed error wrapped to [-pi, pi), shape ``[B]``.
+
+    ``theta_probe`` is the heading the agent FACES while scanning (default:
+    ``theta_ref``); with ``full_circle=True`` (default) the scan covers the
+    whole circle so the error is probe-heading-invariant — the infomax
+    dose-response artifacts' ``herr`` metric, now first-class.
+    """
+    xy = np.atleast_2d(np.asarray(xy, dtype=np.float32))
+    theta_ref = np.atleast_1d(np.asarray(theta_ref, dtype=np.float32))
+    theta_probe = (
+        theta_ref
+        if theta_probe is None
+        else np.atleast_1d(np.asarray(theta_probe, dtype=np.float32))
+    )
+    pcfg = full_circle_scan(cfg) if full_circle else cfg
+    probe = make_familiarity_probe(pcfg, fam_impl)
+    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    aux = probe.prepare(st) if probe.prepare is not None else None
+    fam = np.asarray(probe(xy, theta_probe, st, aux))  # [B, Nh]
+    order = np.asarray(pcfg.scan.tie_order())
+    k = order[np.argmin(fam[:, order], axis=1)]
+    chosen = theta_probe + probe.angles[k]
+    err = chosen - theta_ref
+    return np.asarray((err + np.pi) % (2 * np.pi) - np.pi, dtype=np.float32)
 
 
 def catchment(fmap: dict, route, corridor: float = 20.0) -> dict:

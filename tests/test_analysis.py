@@ -227,3 +227,25 @@ def test_catchment_on_world(world):
     assert cap.size > 0
     if uncap.size:  # tiny worlds can be fully captured
         assert float(cap.mean()) < float(uncap.mean())
+
+
+def test_heading_error(world):
+    """Open-loop heading recovery: at capture poses the scan's chosen
+    heading matches the capture heading within one fine bin — including
+    when the agent faces 90 deg away and must recover via the full circle."""
+    from navdv_tpu.analysis import heading_error
+
+    cfg, landscape, route, lib, st = world
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    xy = np.asarray(pts)[[0, 4, 8]]
+    th = np.asarray(headings)[[0, 4, 8]]
+    binw = cfg.sensor.bin_width
+
+    err = heading_error(landscape, lib, cfg, xy, th, fam_impl="jnp")
+    assert err.shape == (3,)
+    assert np.all(np.abs(err) <= binw + 1e-6), err
+
+    # probe-heading invariance through the full circle
+    err_rot = heading_error(landscape, lib, cfg, xy, th,
+                            theta_probe=th + np.pi / 2, fam_impl="jnp")
+    assert np.all(np.abs(err_rot) <= binw + 1e-6), err_rot
