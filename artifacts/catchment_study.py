@@ -52,6 +52,9 @@ def main():
 
     cfg = nav.SimConfig()
     out = os.path.join(OUTDIR, "catchment_study.jsonl")
+    # overwrite, don't append: the study always runs all three worlds, and
+    # appended re-runs would leave stale rows mixed with fresh ones
+    open(out, "w").close()
     for kind in ["blobs", "fractal", "noise"]:
         t0 = time.perf_counter()
         landscape = jnp.asarray(nav.make_landscape(kind, size=(512, 512), seed=7))
@@ -72,7 +75,10 @@ def main():
         import dataclasses
 
         cfg_run = dataclasses.replace(
-            cfg, agent=dataclasses.replace(cfg.agent, max_steps=int(arc * 1.3))
+            cfg,
+            agent=dataclasses.replace(
+                cfg.agent, max_steps=int(arc / cfg.agent.step_size * 1.3)
+            ),
         )
         B = 64
         starts, thetas = make_trials(route, cfg_run, B, seed=0)
@@ -88,6 +94,7 @@ def main():
         }
         row = {
             "world": kind,
+            "device": jax.default_backend(),
             "route_margin": 60.0,
             "catchment_fraction": round(c["fraction"], 4),
             **bands,

@@ -15,9 +15,13 @@ in outdoor scenes"; Baddeley et al. 2012):
 
 Both probe the EXACT production familiarity stage
 (:func:`navdv_tpu.agent.make_step_batched`'s ``step.fam`` — renderer, lag
-dedup, metric, RIDF pooling, precision knobs, library-axis ``pmin`` when
-sharded), so what is plotted is what the agent computes, for every
-``fam_impl`` including the learned infomax memory. The map is one giant
+dedup, metric, RIDF pooling, precision knobs), so what is plotted is what
+the agent computes, for every ``fam_impl`` including the learned infomax
+memory. For a library sharded over a mesh axis, build the probe with
+``make_familiarity_probe(cfg, fam_impl, lib_axis=...)`` and call it under
+``shard_map`` (the per-shard minima then ``pmin`` exactly as in the
+production step); the ``ridf``/``familiarity_map`` convenience wrappers
+below are single-device. The map is one giant
 batched familiarity evaluation — grid cells play the role of agents, i.e.
 the bench hot path at B = grid size; on TPU a 10⁴-position map is a few
 episode-steps' worth of work.
@@ -26,6 +30,7 @@ episode-steps' worth of work.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -63,19 +68,31 @@ def full_circle_scan(cfg: SimConfig) -> SimConfig:
     return dataclasses.replace(cfg, scan=scan)
 
 
-def make_familiarity_probe(cfg: SimConfig, fam_impl: str = "auto"):
+@functools.lru_cache(maxsize=32)
+def make_familiarity_probe(
+    cfg: SimConfig, fam_impl: str = "auto", lib_axis: str | None = None
+):
     """Batched familiarity probe over the production pipeline.
 
     Returns ``probe(xy[B, 2], theta[B], st, aux=None) -> fam[B, Nh]`` (jitted)
-    with two attributes:
+    with three attributes:
 
     - ``probe.angles``: ``f32[Nh]`` candidate rotations relative to ``theta``
       (radians, ascending; candidate k's absolute heading is
       ``theta + angles[k]``);
     - ``probe.prepare``: per-library preprocessing (``st -> aux``) for impls
-      that need it (fft/roll spectra, the trained infomax network), or None.
+      that need it (fft/roll spectra, the trained infomax network), or None;
+    - ``probe.best``: jitted ``(xy, theta, st, aux) -> (fam_min[B], k[B])``
+      argmin-over-headings reduction (what ``familiarity_map`` runs).
+
+    ``lib_axis`` names a library-sharded mesh axis exactly as in
+    ``make_step_batched`` — pass it when probing under ``shard_map`` so the
+    per-shard minima ``pmin`` to the global familiarity. Probes are cached
+    on ``(cfg, fam_impl, lib_axis)`` (configs are frozen/hashable), so
+    repeated ``ridf``/``heading_error`` calls reuse one jitted pipeline
+    instead of recompiling.
     """
-    step = make_step_batched(cfg, fam_impl)
+    step = make_step_batched(cfg, fam_impl, lib_axis)
     fam_of = step.fam
     shifts, _ = scan_shift_sets(cfg.scan)
     angles = np.asarray(shifts, dtype=np.float32) * cfg.sensor.bin_width
@@ -84,8 +101,15 @@ def make_familiarity_probe(cfg: SimConfig, fam_impl: str = "auto"):
     def probe(xy, theta, st: EpisodeStatics, aux=None):
         return fam_of(init_state(xy, theta), st, aux)
 
+    @jax.jit
+    def best(xy, theta, st: EpisodeStatics, aux=None):
+        fam = fam_of(init_state(xy, theta), st, aux)
+        k = jnp.argmin(fam, axis=1)
+        return jnp.take_along_axis(fam, k[:, None], axis=1)[:, 0], k
+
     probe.angles = angles
     probe.prepare = getattr(step, "lib_prepare", None)
+    probe.best = best
     return probe
 
 
@@ -112,6 +136,11 @@ def ridf(
     single = xy.ndim == 1
     xy_b = xy[None, :] if single else xy
     theta_b = np.atleast_1d(np.asarray(theta, dtype=np.float32))
+    if theta_b.shape[0] != xy_b.shape[0]:
+        raise ValueError(
+            f"theta batch {theta_b.shape[0]} != xy batch {xy_b.shape[0]} — "
+            "pass one heading per pose"
+        )
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
     aux = probe.prepare(st) if probe.prepare is not None else None
@@ -163,12 +192,7 @@ def familiarity_map(
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
     aux = probe.prepare(st) if probe.prepare is not None else None
-
-    @jax.jit
-    def best_of(xy_b):
-        fam = probe(xy_b, jnp.zeros(xy_b.shape[0], jnp.float32), st, aux)
-        k = jnp.argmin(fam, axis=1)
-        return jnp.take_along_axis(fam, k[:, None], axis=1)[:, 0], k
+    zeros = jnp.zeros(batch, jnp.float32)
 
     best = np.empty(n, dtype=np.float32)
     best_k = np.empty(n, dtype=np.int32)
@@ -179,7 +203,7 @@ def familiarity_map(
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], batch - (hi - lo), axis=0)]
             )
-        b, k = best_of(jnp.asarray(chunk))
+        b, k = probe.best(jnp.asarray(chunk), zeros, st, aux)
         best[lo:hi] = np.asarray(b)[: hi - lo]
         best_k[lo:hi] = np.asarray(k)[: hi - lo]
 
@@ -222,6 +246,11 @@ def heading_error(
         if theta_probe is None
         else np.atleast_1d(np.asarray(theta_probe, dtype=np.float32))
     )
+    if theta_ref.shape[0] != xy.shape[0] or theta_probe.shape[0] != xy.shape[0]:
+        raise ValueError(
+            f"heading batches (ref {theta_ref.shape[0]}, probe "
+            f"{theta_probe.shape[0]}) != xy batch {xy.shape[0]}"
+        )
     pcfg = full_circle_scan(cfg) if full_circle else cfg
     probe = make_familiarity_probe(pcfg, fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
@@ -249,20 +278,16 @@ def catchment(fmap: dict, route, corridor: float = 20.0) -> dict:
     grid cells — a world/route-level predictor of recall difficulty
     (compare artifacts/RESULTS.md's world-statistics findings).
     """
+    from navdv_tpu.oracle import point_to_polyline_dists
+
     fam = np.asarray(fmap["fam"], dtype=np.float64)
     ny, nx = fam.shape
     gx, gy = np.meshgrid(fmap["x"], fmap["y"])
     route = np.asarray(route, dtype=np.float64)
-    a, b = route[:-1], route[1:]
-    ab = b - a
-    denom = np.maximum((ab**2).sum(axis=1), 1e-12)
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # [N, 2]
-    t = np.clip(
-        ((pts[:, None, :] - a[None]) * ab[None]).sum(-1) / denom, 0.0, 1.0
+    route_dist = (
+        point_to_polyline_dists(pts, route).reshape(ny, nx).astype(np.float32)
     )
-    proj = a[None] + t[..., None] * ab[None]
-    route_dist = np.sqrt(((pts[:, None, :] - proj) ** 2).sum(-1).min(axis=1))
-    route_dist = route_dist.reshape(ny, nx).astype(np.float32)
 
     # descent successor of every cell: lowest strict-descent 8-neighbor
     # (-1 = local minimum). Computed once; paths then resolve by pointer

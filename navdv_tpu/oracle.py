@@ -122,15 +122,23 @@ def train_library(landscape: np.ndarray, route: np.ndarray, cfg: SimConfig) -> n
 
 # --- L3: navigation (SEMANTICS.md §5) --------------------------------------
 
-def point_to_polyline_dist(p: np.ndarray, route: np.ndarray) -> float:
-    """Min distance from point to route polyline (point-to-segment)."""
+def point_to_polyline_dists(pts: np.ndarray, route: np.ndarray) -> np.ndarray:
+    """Min distance from each point [N, 2] to the route polyline -> [N]."""
+    pts = np.asarray(pts, dtype=np.float64)
     a = route[:-1]
     b = route[1:]
     ab = b - a
     denom = np.maximum((ab**2).sum(axis=1), 1e-12)
-    t = np.clip(((p - a) * ab).sum(axis=1) / denom, 0.0, 1.0)
-    proj = a + t[:, None] * ab
-    return float(np.sqrt(((p - proj) ** 2).sum(axis=1).min()))
+    t = np.clip(
+        ((pts[:, None, :] - a[None]) * ab[None]).sum(-1) / denom, 0.0, 1.0
+    )
+    proj = a[None] + t[..., None] * ab[None]
+    return np.sqrt(((pts[:, None, :] - proj) ** 2).sum(-1).min(axis=1))
+
+
+def point_to_polyline_dist(p: np.ndarray, route: np.ndarray) -> float:
+    """Min distance from point to route polyline (point-to-segment)."""
+    return float(point_to_polyline_dists(np.asarray(p)[None, :], route)[0])
 
 
 def scan_familiarity(

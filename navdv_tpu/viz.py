@@ -104,12 +104,16 @@ def plot_ridf(angles, fam, path: str, title: str = "") -> str:
     fig, ax = plt.subplots(figsize=(7, 3.5))
     deg = np.degrees(np.asarray(angles))
     fam = np.asarray(fam)
-    for row in fam[None, :] if fam.ndim == 1 else fam[:32]:
+    shown = 1 if fam.ndim == 1 else min(fam.shape[0], 32)
+    for row in fam[None, :] if fam.ndim == 1 else fam[:shown]:
         ax.plot(deg, row, "-", lw=1.2, alpha=0.9 if fam.ndim == 1 else 0.5)
     ax.axvline(0.0, color="k", lw=0.6, ls=":")
     ax.set_xlabel("rotation (deg)")
     ax.set_ylabel("min distance")
-    ax.set_title(title or "rotational image difference function")
+    base = title or "rotational image difference function"
+    if fam.ndim == 2 and fam.shape[0] > shown:
+        base += f" (showing {shown} of {fam.shape[0]} poses)"
+    ax.set_title(base)
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path
@@ -128,11 +132,17 @@ def plot_familiarity_map(
     ax.imshow(land, cmap="gray", origin="lower",
               extent=(0, land.shape[1], 0, land.shape[0]), alpha=0.45)
     x, y, fam = fmap["x"], fmap["y"], fmap["fam"]
+    # grid coordinates are CELL CENTERS; imshow extent takes edges, so pad
+    # by half a stride or the heat layer lands half a cell off the
+    # quiver/contour/route overlays
+    dx = float(x[1] - x[0]) if len(x) > 1 else 1.0
+    dy = float(y[1] - y[0]) if len(y) > 1 else 1.0
     # robust scale: isolated unfamiliarity spikes (e.g. positions on top of
     # features) would otherwise flatten the route-proximal gradient
     im = ax.imshow(
         fam, cmap="viridis_r", origin="lower", alpha=0.75,
-        extent=(x[0], x[-1], y[0], y[-1]), aspect="auto",
+        extent=(x[0] - dx / 2, x[-1] + dx / 2, y[0] - dy / 2, y[-1] + dy / 2),
+        aspect="auto",
         vmin=float(np.min(fam)), vmax=float(np.percentile(fam, 95.0)),
     )
     fig.colorbar(im, label="best familiarity (min distance)")

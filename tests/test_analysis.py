@@ -229,6 +229,72 @@ def test_catchment_on_world(world):
         assert float(cap.mean()) < float(uncap.mean())
 
 
+def test_probe_cache_and_best(world):
+    """Probes are cached on (cfg, impl, lib_axis) — repeated analysis calls
+    reuse one jitted pipeline — and probe.best is exactly the argmin
+    reduction of the probe's familiarity output."""
+    cfg, landscape, route, lib, st = world
+    p1 = make_familiarity_probe(cfg, "jnp")
+    assert p1 is make_familiarity_probe(cfg, "jnp")
+    assert p1 is not make_familiarity_probe(cfg, "roll")
+
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    xy = jnp.asarray(np.asarray(pts)[[0, 3]], jnp.float32)
+    th = jnp.asarray(np.asarray(headings)[[0, 3]] + 0.2, jnp.float32)
+    fam = np.asarray(p1(xy, th, st))
+    best, k = p1.best(xy, th, st)
+    np.testing.assert_array_equal(np.asarray(k), fam.argmin(axis=1))
+    np.testing.assert_allclose(np.asarray(best), fam.min(axis=1), rtol=1e-6)
+
+
+def test_probe_lib_axis_pmin(world):
+    """A lib_axis probe under shard_map (per-shard minima + lax.pmin, the
+    production sharded-fam stage) matches the unsharded probe."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from navdv_tpu.parallel.mesh import (
+        LIB_AXIS,
+        _statics_specs,
+        make_mesh,
+        shard_statics,
+    )
+
+    cfg, landscape, route, lib, st = world
+    mesh = make_mesh(4, 2)
+    st_sh = shard_statics(st, mesh, shard_lib=True)
+    probe = make_familiarity_probe(cfg, "jnp", lib_axis=LIB_AXIS)
+    ref = make_familiarity_probe(cfg, "jnp")
+
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    xy = jnp.asarray(np.asarray(pts)[[1, 2]], jnp.float32)
+    th = jnp.asarray(np.asarray(headings)[[1, 2]] + 0.05, jnp.float32)
+
+    sharded = shard_map(
+        lambda x, t, s: probe(x, t, s),
+        mesh=mesh,
+        in_specs=(P(), P(), _statics_specs(True)),
+        out_specs=P(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded(xy, th, st_sh)),
+        np.asarray(ref(xy, th, st)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_batch_mismatch_raises(world):
+    """ridf/heading_error reject silently-broadcasting heading batches."""
+    from navdv_tpu.analysis import heading_error
+
+    cfg, landscape, route, lib, st = world
+    with pytest.raises(ValueError, match="theta batch"):
+        ridf(landscape, lib, np.zeros((3, 2)), np.zeros(2), cfg)
+    with pytest.raises(ValueError, match="heading batches"):
+        heading_error(landscape, lib, cfg, np.zeros((3, 2)), np.zeros(2))
+
+
 def test_heading_error(world):
     """Open-loop heading recovery: at capture poses the scan's chosen
     heading matches the capture heading within one fine bin — including

@@ -75,6 +75,18 @@ def test_point_to_polyline():
     assert oracle.point_to_polyline_dist(np.array([12.0, 0.0]), route) == pytest.approx(2.0)
 
 
+def test_point_to_polyline_dists_batch():
+    """Vectorized form matches the scalar form point-for-point on a
+    multi-segment route (shared by analysis.catchment's route_dist grid)."""
+    rng = np.random.default_rng(0)
+    route = rng.uniform(0.0, 100.0, (7, 2))
+    pts = rng.uniform(-10.0, 110.0, (40, 2))
+    d = oracle.point_to_polyline_dists(pts, route)
+    assert d.shape == (40,)
+    for p, di in zip(pts, d):
+        assert di == pytest.approx(oracle.point_to_polyline_dist(p, route))
+
+
 def test_route_recall_on_featureful_landscape(small_cfg, small_world):
     """Golden behavior (SURVEY.md §4.3): trained agent recalls the route."""
     landscape, route = small_world
