@@ -44,6 +44,7 @@ _EXPORTS = {
     "navigate": "navdv_tpu.agent",
     "step": "navdv_tpu.agent",
     "catchment": "navdv_tpu.analysis",
+    "full_circle_scan": "navdv_tpu.analysis",
     "heading_error": "navdv_tpu.analysis",
     "familiarity_map": "navdv_tpu.analysis",
     "make_familiarity_probe": "navdv_tpu.analysis",

@@ -83,7 +83,9 @@ def make_familiarity_probe(
     - ``probe.prepare``: per-library preprocessing (``st -> aux``) for impls
       that need it (fft/roll spectra, the trained infomax network), or None;
     - ``probe.best``: jitted ``(xy, theta, st, aux) -> (fam_min[B], k[B])``
-      argmin-over-headings reduction (what ``familiarity_map`` runs).
+      argmin-over-headings reduction with the production tie-break
+      (smallest |shift| first, SEMANTICS.md §5 — what the agent's decide
+      applies; what ``familiarity_map`` runs).
 
     ``lib_axis`` names a library-sharded mesh axis exactly as in
     ``make_step_batched`` — pass it when probing under ``shard_map`` so the
@@ -101,11 +103,16 @@ def make_familiarity_probe(
     def probe(xy, theta, st: EpisodeStatics, aux=None):
         return fam_of(init_state(xy, theta), st, aux)
 
+    tie_order = jnp.asarray(np.asarray(cfg.scan.tie_order(), dtype=np.int32))
+
     @jax.jit
     def best(xy, theta, st: EpisodeStatics, aux=None):
         fam = fam_of(init_state(xy, theta), st, aux)
-        k = jnp.argmin(fam, axis=1)
-        return jnp.take_along_axis(fam, k[:, None], axis=1)[:, 0], k
+        # argmin over the tie-order permutation implements the production
+        # tie-break exactly (agent._make_decide does the same per agent)
+        famo = fam[:, tie_order]
+        j = jnp.argmin(famo, axis=1)
+        return jnp.take_along_axis(famo, j[:, None], axis=1)[:, 0], tie_order[j]
 
     probe.angles = angles
     probe.prepare = getattr(step, "lib_prepare", None)
@@ -114,6 +121,28 @@ def make_familiarity_probe(
 
 
 _DUMMY_ROUTE = np.array([[0.0, 0.0], [1.0, 1.0]])  # fam never reads the route
+
+# prepared aux per (probe, library): probe.prepare can be expensive (fft/roll
+# spectra; the infomax prepare TRAINS the whole network), and the convenience
+# wrappers below are commonly called in a loop against one library. Entries
+# hold the keying views array strongly so its id() cannot be recycled while
+# the entry lives; small FIFO bounds device memory held by evicted libraries.
+_AUX_CACHE: dict = {}
+_AUX_CACHE_MAX = 8
+
+
+def _aux_for(probe, st: EpisodeStatics):
+    if probe.prepare is None:
+        return None
+    key = (id(probe), id(st.lib.views))
+    hit = _AUX_CACHE.get(key)
+    if hit is not None and hit[0] is st.lib.views:
+        return hit[1]
+    aux = probe.prepare(st)
+    while len(_AUX_CACHE) >= _AUX_CACHE_MAX:
+        _AUX_CACHE.pop(next(iter(_AUX_CACHE)))
+    _AUX_CACHE[key] = (st.lib.views, aux)
+    return aux
 
 
 def ridf(
@@ -143,7 +172,7 @@ def ridf(
         )
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
-    aux = probe.prepare(st) if probe.prepare is not None else None
+    aux = _aux_for(probe, st)
     fam = np.asarray(probe(xy_b, theta_b, st, aux))
     return probe.angles, (fam[0] if single else fam)
 
@@ -191,7 +220,7 @@ def familiarity_map(
 
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
-    aux = probe.prepare(st) if probe.prepare is not None else None
+    aux = _aux_for(probe, st)
     zeros = jnp.zeros(batch, jnp.float32)
 
     best = np.empty(n, dtype=np.float32)
@@ -254,7 +283,7 @@ def heading_error(
     pcfg = full_circle_scan(cfg) if full_circle else cfg
     probe = make_familiarity_probe(pcfg, fam_impl)
     st = make_statics(landscape, lib, _DUMMY_ROUTE)
-    aux = probe.prepare(st) if probe.prepare is not None else None
+    aux = _aux_for(probe, st)
     fam = np.asarray(probe(xy, theta_probe, st, aux))  # [B, Nh]
     order = np.asarray(pcfg.scan.tie_order())
     k = order[np.argmin(fam[:, order], axis=1)]

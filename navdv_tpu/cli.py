@@ -29,6 +29,31 @@ def _add_world_args(p: argparse.ArgumentParser) -> None:
                         "reference numerics")
 
 
+def _cli_route(args, size):
+    """Route for the CLI commands.
+
+    The edge margin scales down on small worlds (a fixed 60 would leave a
+    128-px world only 8 px of route regardless of --route-length), and a
+    silently-truncated --route-length is warned about instead of hidden.
+    """
+    import sys
+
+    import navdv_tpu as nav
+
+    h, w = size
+    margin = min(60.0, w / 4.0)
+    avail = w - 2.0 * margin
+    if args.route_length > avail + 1e-9:
+        print(
+            f"warning: --route-length {args.route_length:g} does not fit "
+            f"world width {w} at margin {margin:g}; truncated to {avail:g}",
+            file=sys.stderr,
+        )
+    return nav.make_route(
+        args.route, size=size, margin=margin, length=args.route_length
+    )
+
+
 def cmd_demo(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -47,7 +72,7 @@ def cmd_demo(args) -> None:
     cfg = baseline_config(args.config)
     size = (args.size, args.size)
     landscape = _load_world(args, size)
-    route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
+    route = _cli_route(args, landscape.shape)
     steps = args.steps or int(
         np.hypot(*np.diff(route, axis=0).T).sum() / cfg.agent.step_size * 1.3
     )
@@ -123,7 +148,7 @@ def cmd_sweep(args) -> None:
 
     size = (args.size, args.size)
     landscape = _load_world(args, size)
-    route = nav.make_route(args.route, size=landscape.shape, margin=60.0, length=args.route_length)
+    route = _cli_route(args, landscape.shape)
     import numpy as np
 
     steps = args.steps or int(np.hypot(*np.diff(route, axis=0).T).sum() * 1.3)
@@ -173,8 +198,7 @@ def cmd_analyze(args) -> None:
 
     size = (args.size, args.size)
     landscape = _load_world(args, size)
-    route = nav.make_route(args.route, size=landscape.shape, margin=60.0,
-                           length=args.route_length)
+    route = _cli_route(args, landscape.shape)
     cfg = nav.SimConfig()
     land_dev = jnp.asarray(landscape)
     lib = nav.train_library(land_dev, route, cfg)

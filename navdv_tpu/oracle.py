@@ -122,18 +122,33 @@ def train_library(landscape: np.ndarray, route: np.ndarray, cfg: SimConfig) -> n
 
 # --- L3: navigation (SEMANTICS.md §5) --------------------------------------
 
+_POLYLINE_CHUNK_ELEMS = 1 << 22  # max chunk*segments elements per temporary
+
+
 def point_to_polyline_dists(pts: np.ndarray, route: np.ndarray) -> np.ndarray:
-    """Min distance from each point [N, 2] to the route polyline -> [N]."""
+    """Min distance from each point [N, 2] to the route polyline -> [N].
+
+    Chunked over points so the [chunk, S, 2] temporaries stay bounded —
+    dense analysis grids (N ~ 10^5-10^6) against long routes would
+    otherwise materialize multi-GB intermediates.
+    """
     pts = np.asarray(pts, dtype=np.float64)
     a = route[:-1]
     b = route[1:]
     ab = b - a
     denom = np.maximum((ab**2).sum(axis=1), 1e-12)
-    t = np.clip(
-        ((pts[:, None, :] - a[None]) * ab[None]).sum(-1) / denom, 0.0, 1.0
-    )
-    proj = a[None] + t[..., None] * ab[None]
-    return np.sqrt(((pts[:, None, :] - proj) ** 2).sum(-1).min(axis=1))
+    chunk = max(1, _POLYLINE_CHUNK_ELEMS // max(1, a.shape[0]))
+    out = np.empty(pts.shape[0], dtype=np.float64)
+    for lo in range(0, pts.shape[0], chunk):
+        p = pts[lo : lo + chunk]
+        t = np.clip(
+            ((p[:, None, :] - a[None]) * ab[None]).sum(-1) / denom, 0.0, 1.0
+        )
+        proj = a[None] + t[..., None] * ab[None]
+        out[lo : lo + chunk] = np.sqrt(
+            ((p[:, None, :] - proj) ** 2).sum(-1).min(axis=1)
+        )
+    return out
 
 
 def point_to_polyline_dist(p: np.ndarray, route: np.ndarray) -> float:

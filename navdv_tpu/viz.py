@@ -142,7 +142,6 @@ def plot_familiarity_map(
     im = ax.imshow(
         fam, cmap="viridis_r", origin="lower", alpha=0.75,
         extent=(x[0] - dx / 2, x[-1] + dx / 2, y[0] - dy / 2, y[-1] + dy / 2),
-        aspect="auto",
         vmin=float(np.min(fam)), vmax=float(np.percentile(fam, 95.0)),
     )
     fig.colorbar(im, label="best familiarity (min distance)")

@@ -284,6 +284,51 @@ def test_probe_lib_axis_pmin(world):
     )
 
 
+def test_probe_best_production_tie_break(request):
+    """On a flat world at an exact capture pose every rotation ties; the
+    production tie-break (smallest |shift| first, SEMANTICS.md §5) must pick
+    rotation 0 — a bare argmin would pick the most negative rotation."""
+    from navdv_tpu.landscape import make_landscape
+    from navdv_tpu.routes import make_route
+
+    cfg = request.getfixturevalue("small_cfg")
+    landscape = make_landscape("flat", size=(128, 128), seed=0)
+    route = make_route("line", size=(128, 128), margin=32.0, length=40.0)
+    lib = train_library(jnp.asarray(landscape), route, cfg)
+    st = make_statics(landscape, lib, route)
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+
+    probe = make_familiarity_probe(full_circle_scan(cfg), "jnp")
+    xy = jnp.asarray(np.asarray(pts)[[2]], jnp.float32)
+    th = jnp.asarray(np.asarray(headings)[[2]], jnp.float32)
+    fam = np.asarray(probe(xy, th, st))
+    assert float(fam.max() - fam.min()) == 0.0, "flat world must tie"
+    _, k = probe.best(xy, th, st)
+    assert float(probe.angles[int(k[0])]) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_aux_cache_reuses_prepare(world, monkeypatch):
+    """Repeated ridf calls against one library run probe.prepare once (for
+    infomax, prepare TRAINS the network — re-preparing per call was the
+    review finding this pins)."""
+    from navdv_tpu import analysis
+
+    cfg, landscape, route, lib, st = world
+    pts, headings = oracle.resample_route(route, cfg.capture_spacing)
+    probe = make_familiarity_probe(full_circle_scan(cfg), "fft")
+    calls = []
+    orig = probe.prepare
+    assert orig is not None
+    monkeypatch.setattr(
+        probe, "prepare", lambda s: (calls.append(1), orig(s))[1]
+    )
+    analysis._AUX_CACHE.clear()
+    _, f1 = ridf(landscape, lib, pts[1], headings[1], cfg, fam_impl="fft")
+    _, f2 = ridf(landscape, lib, pts[2], headings[2], cfg, fam_impl="fft")
+    assert len(calls) == 1
+    assert np.isfinite(f1).all() and np.isfinite(f2).all()
+
+
 def test_batch_mismatch_raises(world):
     """ridf/heading_error reject silently-broadcasting heading batches."""
     from navdv_tpu.analysis import heading_error

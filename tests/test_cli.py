@@ -93,3 +93,26 @@ def test_cli_analyze(tmp_path):
     assert abs(a["ridf_valley_deg"]) <= 1.5
     assert a["ridf_depth"] < 0.05
     assert a["map_grid"][0] >= 2 and a["map_grid"][1] >= 2
+
+
+def test_cli_route_margin_scales_and_warns(capsys):
+    """CLI routes scale the edge margin down on small worlds (a fixed 60 px
+    left a 128-px world an 8-px route whatever --route-length asked for) and
+    warn when the requested length still gets truncated."""
+    import argparse
+
+    import numpy as np
+    import pytest
+
+    from navdv_tpu.cli import _cli_route
+
+    args = argparse.Namespace(route="line", route_length=40.0)
+    r = _cli_route(args, (128, 128))
+    got = float(np.hypot(*np.diff(r, axis=0).T).sum())
+    assert got == pytest.approx(40.0, abs=1e-6)
+    assert capsys.readouterr().err == ""
+
+    args = argparse.Namespace(route="line", route_length=200.0)
+    r = _cli_route(args, (128, 128))
+    assert "truncated" in capsys.readouterr().err
+    assert float(np.hypot(*np.diff(r, axis=0).T).sum()) == pytest.approx(64.0)

@@ -87,6 +87,18 @@ def test_point_to_polyline_dists_batch():
         assert di == pytest.approx(oracle.point_to_polyline_dist(p, route))
 
 
+def test_point_to_polyline_dists_chunked(monkeypatch):
+    """The memory-bounding chunk loop splits without changing values."""
+    rng = np.random.default_rng(1)
+    route = rng.uniform(0.0, 100.0, (9, 2))
+    pts = rng.uniform(-10.0, 110.0, (25, 2))
+    whole = oracle.point_to_polyline_dists(pts, route)
+    monkeypatch.setattr(oracle, "_POLYLINE_CHUNK_ELEMS", 8 * 7)  # chunk=7
+    np.testing.assert_array_equal(
+        oracle.point_to_polyline_dists(pts, route), whole
+    )
+
+
 def test_route_recall_on_featureful_landscape(small_cfg, small_world):
     """Golden behavior (SURVEY.md §4.3): trained agent recalls the route."""
     landscape, route = small_world
