@@ -68,7 +68,6 @@ def full_circle_scan(cfg: SimConfig) -> SimConfig:
     return dataclasses.replace(cfg, scan=scan)
 
 
-@functools.lru_cache(maxsize=32)
 def make_familiarity_probe(
     cfg: SimConfig, fam_impl: str = "auto", lib_axis: str | None = None
 ):
@@ -94,6 +93,14 @@ def make_familiarity_probe(
     repeated ``ridf``/``heading_error`` calls reuse one jitted pipeline
     instead of recompiling.
     """
+    # normalize to one positional key: lru_cache would otherwise key
+    # keyword and positional call styles (and explicit-default calls)
+    # separately, building duplicate probes for the same pipeline
+    return _make_familiarity_probe(cfg, fam_impl, lib_axis)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_familiarity_probe(cfg, fam_impl, lib_axis):
     step = make_step_batched(cfg, fam_impl, lib_axis)
     fam_of = step.fam
     shifts, _ = scan_shift_sets(cfg.scan)
@@ -122,13 +129,31 @@ def make_familiarity_probe(
 
 _DUMMY_ROUTE = np.array([[0.0, 0.0], [1.0, 1.0]])  # fam never reads the route
 
-# prepared aux per (probe, library): probe.prepare can be expensive (fft/roll
-# spectra; the infomax prepare TRAINS the whole network), and the convenience
-# wrappers below are commonly called in a loop against one library. Entries
-# hold the keying views array strongly so its id() cannot be recycled while
-# the entry lives; small FIFO bounds device memory held by evicted libraries.
+# Per-call caches for the convenience wrappers below (commonly called in a
+# loop against one landscape+library): prepared aux — probe.prepare can be
+# expensive (fft/roll spectra; the infomax prepare TRAINS the whole network)
+# — and the EpisodeStatics device upload. Entries hold every id()-keyed
+# object strongly so no id can be recycled while its entry lives; small
+# FIFOs bound device memory held by evicted libraries.
 _AUX_CACHE: dict = {}
-_AUX_CACHE_MAX = 8
+_STATICS_CACHE: dict = {}
+_CACHE_MAX = 8
+
+
+def _fifo_put(cache: dict, key, entry) -> None:
+    while len(cache) >= _CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = entry
+
+
+def _statics_for(landscape, lib: LibraryPack) -> EpisodeStatics:
+    key = (id(landscape), id(lib.views))
+    hit = _STATICS_CACHE.get(key)
+    if hit is not None and hit[0] is landscape and hit[1] is lib.views:
+        return hit[2]
+    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    _fifo_put(_STATICS_CACHE, key, (landscape, lib.views, st))
+    return st
 
 
 def _aux_for(probe, st: EpisodeStatics):
@@ -136,12 +161,12 @@ def _aux_for(probe, st: EpisodeStatics):
         return None
     key = (id(probe), id(st.lib.views))
     hit = _AUX_CACHE.get(key)
-    if hit is not None and hit[0] is st.lib.views:
-        return hit[1]
+    # both identities re-checked: the probe's lru_cache slot (and hence its
+    # id) can be evicted+recycled independently of this cache's entries
+    if hit is not None and hit[0] is probe and hit[1] is st.lib.views:
+        return hit[2]
     aux = probe.prepare(st)
-    while len(_AUX_CACHE) >= _AUX_CACHE_MAX:
-        _AUX_CACHE.pop(next(iter(_AUX_CACHE)))
-    _AUX_CACHE[key] = (st.lib.views, aux)
+    _fifo_put(_AUX_CACHE, key, (probe, st.lib.views, aux))
     return aux
 
 
@@ -171,7 +196,7 @@ def ridf(
             "pass one heading per pose"
         )
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
-    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    st = _statics_for(landscape, lib)
     aux = _aux_for(probe, st)
     fam = np.asarray(probe(xy_b, theta_b, st, aux))
     return probe.angles, (fam[0] if single else fam)
@@ -219,7 +244,7 @@ def familiarity_map(
     n = pts.shape[0]
 
     probe = make_familiarity_probe(full_circle_scan(cfg), fam_impl)
-    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    st = _statics_for(landscape, lib)
     aux = _aux_for(probe, st)
     zeros = jnp.zeros(batch, jnp.float32)
 
@@ -282,12 +307,12 @@ def heading_error(
         )
     pcfg = full_circle_scan(cfg) if full_circle else cfg
     probe = make_familiarity_probe(pcfg, fam_impl)
-    st = make_statics(landscape, lib, _DUMMY_ROUTE)
+    st = _statics_for(landscape, lib)
     aux = _aux_for(probe, st)
-    fam = np.asarray(probe(xy, theta_probe, st, aux))  # [B, Nh]
-    order = np.asarray(pcfg.scan.tie_order())
-    k = order[np.argmin(fam[:, order], axis=1)]
-    chosen = theta_probe + probe.angles[k]
+    # probe.best applies the production tie-break on device and transfers
+    # [B] instead of the full [B, Nh] familiarity matrix
+    _, k = probe.best(xy, theta_probe, st, aux)
+    chosen = theta_probe + probe.angles[np.asarray(k)]
     err = chosen - theta_ref
     return np.asarray((err + np.pi) % (2 * np.pi) - np.pi, dtype=np.float32)
 

@@ -40,7 +40,7 @@ def _cli_route(args, size):
 
     import navdv_tpu as nav
 
-    h, w = size
+    _, w = size
     margin = min(60.0, w / 4.0)
     avail = w - 2.0 * margin
     if args.route_length > avail + 1e-9:
@@ -151,7 +151,13 @@ def cmd_sweep(args) -> None:
     route = _cli_route(args, landscape.shape)
     import numpy as np
 
-    steps = args.steps or int(np.hypot(*np.diff(route, axis=0).T).sum() * 1.3)
+    # budget in STEPS: arc length / step size (sweep cells run the spec's
+    # default kinematics; cmd_demo divides the same way)
+    steps = args.steps or int(
+        np.hypot(*np.diff(route, axis=0).T).sum()
+        / nav.SimConfig().agent.step_size
+        * 1.3
+    )
     trial_seed = args.trial_seed if args.trial_seed is not None else args.seed
     if args.spec:
         # the JSON spec is authoritative; --steps still overrides its budget

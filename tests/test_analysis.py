@@ -236,6 +236,8 @@ def test_probe_cache_and_best(world):
     cfg, landscape, route, lib, st = world
     p1 = make_familiarity_probe(cfg, "jnp")
     assert p1 is make_familiarity_probe(cfg, "jnp")
+    # keyword/positional call styles share one cache key
+    assert p1 is make_familiarity_probe(cfg, fam_impl="jnp", lib_axis=None)
     assert p1 is not make_familiarity_probe(cfg, "roll")
 
     pts, headings = oracle.resample_route(route, cfg.capture_spacing)
@@ -323,10 +325,13 @@ def test_aux_cache_reuses_prepare(world, monkeypatch):
         probe, "prepare", lambda s: (calls.append(1), orig(s))[1]
     )
     analysis._AUX_CACHE.clear()
+    analysis._STATICS_CACHE.clear()
     _, f1 = ridf(landscape, lib, pts[1], headings[1], cfg, fam_impl="fft")
     _, f2 = ridf(landscape, lib, pts[2], headings[2], cfg, fam_impl="fft")
     assert len(calls) == 1
     assert np.isfinite(f1).all() and np.isfinite(f2).all()
+    # the statics device upload is shared across the two calls too
+    assert len(analysis._STATICS_CACHE) == 1
 
 
 def test_batch_mismatch_raises(world):
