@@ -35,10 +35,20 @@ echo "tunnel up; starting queue $(date -u +%FT%TZ)" >> "$LOG"
 
 # 1. The official round-5 headline artifact (accuracy gates + precision
 #    gates + regression guard). Highest priority: this is the record.
+#    bench.py exits rc 0 even on outage (the DRIVER needs a parseable line
+#    whatever happens), so rc alone must not set the done-marker: a mid-run
+#    flap would permanently publish the failed attempt. Only a record with
+#    no "error" lines counts as captured; failed attempts are kept aside
+#    and retried on the next up-window.
 if ! done_p bench_all; then
   if timeout 3500 python bench.py --all > artifacts/bench_r5_final_all.jsonl.tmp 2>> "$LOG"; then
-    mv artifacts/bench_r5_final_all.jsonl.tmp artifacts/bench_r5_final_all.jsonl
-    mark bench_all && echo "bench_all DONE $(date -u +%FT%TZ)" >> "$LOG"
+    if grep -q '"error"' artifacts/bench_r5_final_all.jsonl.tmp; then
+      cp artifacts/bench_r5_final_all.jsonl.tmp artifacts/bench_r5_last_error.jsonl
+      echo "bench_all rc=0 but error lines present; will retry $(date -u +%FT%TZ)" >> "$LOG"
+    else
+      mv artifacts/bench_r5_final_all.jsonl.tmp artifacts/bench_r5_final_all.jsonl
+      mark bench_all && echo "bench_all DONE $(date -u +%FT%TZ)" >> "$LOG"
+    fi
   else
     echo "bench_all FAILED rc=$? $(date -u +%FT%TZ)" >> "$LOG"
   fi

@@ -72,12 +72,16 @@ PROBE_TIMEOUT_S = float(os.environ.get("NAVDV_BENCH_PROBE_TIMEOUT_S", "90"))
 PROBE_WINDOW_S = float(os.environ.get("NAVDV_BENCH_PROBE_WINDOW_S", "600"))
 
 
-def _needs_tpu_probe() -> bool:
-    if os.environ.get("NAVDV_BENCH_SKIP_PROBE"):
-        return False
+def _is_tpu_run() -> bool:
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return False
     return os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"
+
+
+def _needs_tpu_probe() -> bool:
+    # NAVDV_BENCH_SKIP_PROBE skips ONLY the probe (layer 1) on a known-up
+    # tunnel; the mid-run watchdog (layer 2) stays armed for every TPU run
+    return _is_tpu_run() and not os.environ.get("NAVDV_BENCH_SKIP_PROBE")
 
 
 def _probe_backend_once(timeout_s: float) -> tuple[bool, str]:
@@ -281,8 +285,6 @@ def _timed_windows(nav_fn, states0, st, repeats: int, min_window_s: float,
     dispatches cannot overlap or reorder — one host pull at the end of the
     chain then syncs the whole window. Returns (success_rate, per-episode
     times over ``repeats`` windows, chain length)."""
-    import time
-
     from navdv_tpu.agent import AgentState
     from navdv_tpu.metrics import success_rate
 
@@ -310,7 +312,6 @@ def _timed_windows(nav_fn, states0, st, repeats: int, min_window_s: float,
             status=states0.status,
         )
 
-    import os
     _dbg = bool(os.environ.get("NAVDV_BENCH_DEBUG"))
 
     def _window(n):
@@ -378,6 +379,34 @@ ACCURACY_BAND = {1: 0.025, 2: 0.010, 3: 0.010, 4: 0.025}
 GATE_BATCH = 256
 
 
+# trained world+library per distinct workload: inside one process (--all) the
+# config-4 line is config 1's exact workload at the same batch, and the
+# B=1/16/64 latency lines re-enter with config 1 again — training the same
+# library five times burns chip time inside the watchdog budget for zero
+# information. Keyed on everything _setup derives from (the resolved frozen
+# cfg covers config_n); entries are a few MB of HBM each, all four kept.
+_SETUP_CACHE: dict = {}
+_RECALL_REF_CACHE: dict = {}
+
+
+def _setup_trained(config_n, views, route_length, steps, land_kind):
+    import navdv_tpu as nav
+    from navdv_tpu.agent import make_statics
+    from navdv_tpu.config import baseline_config
+
+    key = (baseline_config(config_n), views, route_length, steps, land_kind)
+    hit = _SETUP_CACHE.get(key)
+    if hit is None:
+        cfg, landscape, route, pts, headings = _setup(
+            config_n, views, route_length, steps, land_kind=land_kind
+        )
+        lib = nav.train_library(landscape, route, cfg)
+        st = make_statics(landscape, lib, route)
+        hit = (cfg, landscape, route, pts, headings, lib, st)
+        _SETUP_CACHE[key] = hit
+    return key, hit
+
+
 def _exact_recall_ref(cfg, st, pts, headings, batch: int) -> float:
     """Route-recall of the exact jnp path on this exact world/workload: the
     in-run reference the accuracy gate subtracts its band from."""
@@ -409,21 +438,17 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
               land_kind: str = "blobs", gated: bool = True) -> dict:
     import jax
 
-    import navdv_tpu as nav
-    from navdv_tpu.agent import init_state, make_navigate_batch, make_statics
+    from navdv_tpu.agent import init_state, make_navigate_batch
     from navdv_tpu.config import baseline_fam_impl
-    from navdv_tpu.metrics import success_rate
 
     if impl == "default":
         impl = baseline_fam_impl(config_n)
     if batch is None:
         batch = SPEC_BATCH.get(config_n, 1024)
 
-    cfg, landscape, route, pts, headings = _setup(
-        config_n, views, route_length, steps, land_kind=land_kind
+    setup_key, (cfg, landscape, route, pts, headings, lib, st) = _setup_trained(
+        config_n, views, route_length, steps, land_kind
     )
-    lib = nav.train_library(landscape, route, cfg)
-    st = make_statics(landscape, lib, route)
 
     rng = np.random.default_rng(0)
     starts = pts[0][None, :] + rng.normal(0, 1.5, size=(batch, 2))
@@ -466,7 +491,11 @@ def run_bench(config_n: int = 1, batch: int | None = None, steps: int | None = N
         # is defined; flag instead of KeyError-after-the-timed-run
         result["gate"] = f"skipped: no accuracy band for config {config_n}"
     else:
-        rate_ref = _exact_recall_ref(cfg, st, pts, headings, batch)
+        ref_key = (setup_key, batch)
+        rate_ref = _RECALL_REF_CACHE.get(ref_key)
+        if rate_ref is None:
+            rate_ref = _exact_recall_ref(cfg, st, pts, headings, batch)
+            _RECALL_REF_CACHE[ref_key] = rate_ref
         floor = max(0.0, rate_ref - ACCURACY_BAND[config_n])
         result["exact_recall_ref"] = round(rate_ref, 4)
         result["recall_floor"] = round(floor, 4)
@@ -507,9 +536,10 @@ def run_big_landscape(size: int = 4096, land_kind: str = "fractal",
         feature_scale=512.0 if land_kind == "blobs" else None,
     )
     cells = int(landscape.shape[0]) * int(landscape.shape[1])
-    assert cells > VMEM_LAND_MAX_ELEMS, (
-        f"{cells} cells fits VMEM; this gate needs the DMA band source"
-    )
+    if cells <= VMEM_LAND_MAX_ELEMS:  # not assert: must survive python -O
+        raise ValueError(
+            f"{cells} cells fits VMEM; this gate needs the DMA band source"
+        )
     lib = nav.train_library(landscape, route, cfg)
     st = make_statics(landscape, lib, route)
     rng = np.random.default_rng(0)
@@ -809,7 +839,10 @@ def run_sector_gate() -> dict:
     }
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
+    """The bench arg surface, importable so `navdv_tpu.cli bench` can stay
+    in exact parity (it seeds defaults from here instead of mirroring the
+    arg list by hand)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--batch", type=int, default=None,
@@ -842,6 +875,11 @@ def main() -> None:
                     help="persist compiled XLA executables to DIR; repeat "
                          "runs skip the ~30 s first compiles "
                          "(navdv_tpu.utils.compile_cache)")
+    return ap
+
+
+def main() -> None:
+    ap = build_parser()
     args = ap.parse_args()
     run_defended(args, ap)
 
@@ -852,6 +890,7 @@ def run_defended(args, ap) -> None:
     the CLI entry cannot bypass it."""
     # --- layer 1: bounded probe + retry before any jax import can touch
     # the (possibly down) axon tunnel in this process ---
+    probe_elapsed = 0.0
     if _needs_tpu_probe():
         up, attempts, elapsed, detail = _probe_backend_with_retry()
         if not up:
@@ -871,15 +910,28 @@ def run_defended(args, ap) -> None:
             return
         print(f"[bench probe] backend up after {attempts} attempt(s): {detail}",
               file=sys.stderr, flush=True)
+        probe_elapsed = elapsed
 
-        # --- layer 2: watchdog for a MID-run tunnel death (hang -> rc 124
-        # with an empty tail is exactly round 4's MULTICHIP failure mode).
-        # Armed only for TPU runs: a CPU-forced fallback run is legitimately
-        # 100-1000x slower and must not be os._exit'd by a TPU-sized budget.
-        budget = float(os.environ.get(
-            "NAVDV_BENCH_BUDGET_S", "3300" if args.all else "1200"))
-        _arm_watchdog(budget,
-                      context="--all" if args.all else f"config {args.config}")
+    # --- layer 2: watchdog for a MID-run tunnel death (hang -> rc 124
+    # with an empty tail is exactly round 4's MULTICHIP failure mode).
+    # Armed for every TPU run (including NAVDV_BENCH_SKIP_PROBE ones); a
+    # CPU-forced fallback run is legitimately 100-1000x slower and must
+    # not be os._exit'd by a TPU-sized budget. Probe retry time comes OUT
+    # of the budget so probe + watchdog stay inside an external wrapper's
+    # timeout (e.g. run_tpu_queue.sh) instead of re-exposing rc=124.
+    if _is_tpu_run():
+        if args.big_landscape:
+            default_budget, context = "2400", f"big-landscape {args.big_landscape}"
+        elif args.all:
+            default_budget, context = "3300", "--all"
+        else:
+            default_budget, context = "1200", f"config {args.config}"
+        budget = max(
+            120.0,
+            float(os.environ.get("NAVDV_BENCH_BUDGET_S", default_budget))
+            - probe_elapsed,
+        )
+        _arm_watchdog(budget, context)
 
     # --- layer 3: structured line instead of a raw traceback on any error ---
     try:
@@ -940,7 +992,5 @@ def _run_cli(args, ap) -> None:
 
 
 if __name__ == "__main__":
-    import os
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

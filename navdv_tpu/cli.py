@@ -120,16 +120,16 @@ def cmd_bench(args) -> None:
     # delegate to bench's defended CLI body so the --all sequence, the
     # per-line ok/gate invariant, the regression guard AND the three-layer
     # outage defense (probe/watchdog/structured-error) live in ONE place —
-    # this entry point must not reintroduce the round-4 hang-on-dead-tunnel
-    import argparse
-
-    ns = argparse.Namespace(
-        config=args.config, batch=args.batch, steps=args.steps,
-        views=args.views, route_length=args.route_length, impl=args.impl,
-        repeats=args.repeats, land_kind=args.land_kind, all=args.all,
-        big_landscape=0, big_kind="fractal", jax_cache=None,
-    )
-    bench.run_defended(ns, argparse.ArgumentParser())
+    # this entry point must not reintroduce the round-4 hang-on-dead-tunnel.
+    # Defaults come from bench's OWN parser (new bench args inherit their
+    # defaults instead of silently breaking a hand-mirrored Namespace);
+    # values the cli subcommand parsed override the shared names.
+    ap = bench.build_parser()
+    ns = ap.parse_args([])
+    for k, v in vars(args).items():
+        if hasattr(ns, k):
+            setattr(ns, k, v)
+    bench.run_defended(ns, ap)
 
 
 def _load_world(args, size):

@@ -104,6 +104,58 @@ def test_probe_detects_dead_tunnel_fast(monkeypatch):
     assert detail
 
 
+def test_watchdog_armed_when_probe_skipped(monkeypatch):
+    """NAVDV_BENCH_SKIP_PROBE skips only layer 1: the mid-run watchdog
+    (layer 2) must still arm for a TPU run, and its budget must deduct
+    probe retry time so probe + watchdog fit an external wrapper timeout
+    (run_tpu_queue.sh's `timeout 3500`)."""
+    import argparse
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "192.0.2.55")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("NAVDV_BENCH_SKIP_PROBE", "1")
+    armed = []
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda budget, context: armed.append((budget, context)))
+    monkeypatch.setattr(bench, "_run_cli", lambda args, ap: None)
+    ns = bench.build_parser().parse_args(["--all"])
+    bench.run_defended(ns, argparse.ArgumentParser())
+    assert armed == [(3300.0, "--all")]
+
+    # probe path: elapsed probe time comes out of the budget
+    monkeypatch.delenv("NAVDV_BENCH_SKIP_PROBE", raising=False)
+    monkeypatch.setattr(bench, "_probe_backend_with_retry",
+                        lambda: (True, 3, 250.0, "tpu 1"))
+    armed.clear()
+    bench.run_defended(ns, argparse.ArgumentParser())
+    assert armed == [(3050.0, "--all")]
+
+    # big-landscape runs get their own budget + context
+    ns_big = bench.build_parser().parse_args(["--big-landscape", "4096"])
+    monkeypatch.setenv("NAVDV_BENCH_SKIP_PROBE", "1")
+    monkeypatch.setattr(
+        bench, "_run_cli",
+        lambda args, ap: (_ for _ in ()).throw(RuntimeError("stop")),
+    )
+    armed.clear()
+    bench.run_defended(ns_big, argparse.ArgumentParser())  # layer 3 absorbs
+    assert armed == [(2400.0, "big-landscape 4096")]
+
+
+def test_setup_cache_dedups_identical_workloads():
+    """config 4 is config 1's workload: _setup_trained must hand back the
+    SAME trained world/library (and the --all B=1/16/64 lines likewise)."""
+    bench._SETUP_CACHE.clear()
+    k1, v1 = bench._setup_trained(1, 8, 20.0, 6, "blobs")
+    k4, v4 = bench._setup_trained(4, 8, 20.0, 6, "blobs")
+    assert k1 == k4 and v1 is v4
+    assert len(bench._SETUP_CACHE) == 1
+    # a different workload gets its own entry
+    k2, v2 = bench._setup_trained(2, 8, 20.0, 6, "blobs")
+    assert k2 != k1 and v2 is not v1
+    bench._SETUP_CACHE.clear()
+
+
 def test_spec_impl_mirrors_baseline_fam_impl():
     # SPEC_IMPL is duplicated in bench.py because the outage path cannot
     # import navdv_tpu (package __init__ imports jax -> hangs on a down
