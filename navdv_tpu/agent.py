@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from navdv_tpu.config import SimConfig
-from navdv_tpu.familiarity import LibraryPack, make_familiarity_jnp
+from navdv_tpu.familiarity import LibraryPack
 from navdv_tpu.sensor import (
     make_candidate_views,
     make_lag_stats,

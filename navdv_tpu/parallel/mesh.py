@@ -267,12 +267,20 @@ def make_navigate_cells(cfg: SimConfig, mesh: Mesh, fam_impl: str = "jnp",
     its cells' whole episode batches and reduces them to per-cell metric
     aggregates on device — only [C]-shaped scalars ever reach the host.
 
-    Returns ``run(states0 [C, B, ...], lib_stack [C, ...], shared)`` where
-    ``shared`` is an :class:`EpisodeStatics` with ``lib=None`` (landscape and
-    route constants are replicated; the library is the only per-cell static).
-    Output: dict of per-cell aggregates, each ``[C]`` (or ``[C, 4]`` for
-    ``status_counts``). C must be a multiple of the data-axis size; the
-    sweep runner pads with repeated cells and drops the padding on unstack.
+    Returns ``run(states0 [C, B, ...], lib_stack [C, ...], shared, aux_stack
+    =None)`` where ``shared`` is an :class:`EpisodeStatics` with ``lib=None``
+    (landscape and route constants are replicated; the library is the only
+    per-cell static). Output: dict of per-cell aggregates, each ``[C]`` (or
+    ``[C, 4]`` for ``status_counts``). C must be a multiple of the data-axis
+    size; the sweep runner pads with repeated cells and drops the padding on
+    unstack.
+
+    For impls with a library prepare stage (fft/roll spectra, infomax
+    TRAINING), ``run.prepare(lib_stack, shared)`` builds the per-cell aux
+    stack once — pass it to every ``run`` call, or each invocation (warmup
+    AND timed) re-runs prepare inside the jitted program, which both skews
+    the timing and retrains the infomax network twice per group.
+    ``run.prepare`` is None when the impl has no prepare stage.
 
     ``mesh`` must have a size-1 ``lib`` axis: within-cell library sharding
     composes with trial sharding (make_navigate_sharded), not with cell
@@ -289,33 +297,46 @@ def make_navigate_cells(cfg: SimConfig, mesh: Mesh, fam_impl: str = "jnp",
         )
     n_data = mesh.shape[DATA_AXIS]
     nav = make_navigate_batch_fn(cfg, fam_impl, early_exit=early_exit)
+    lib_prepare = getattr(nav, "lib_prepare", None)
+
+    def _one(shared, s0, lib_c, aux_c):
+        st = shared._replace(lib=lib_c)
+        final, rec = nav(s0, st) if aux_c is None else nav(s0, st, aux_c)
+        m = episode_metrics(final, rec)
+        succ = m["success"].astype(jnp.float32)
+        return {
+            "success_rate": jnp.mean(succ),
+            "mean_steps": jnp.mean(m["n_steps"].astype(jnp.float32)),
+            "mean_path_error": jnp.mean(m["mean_path_error"]),
+            "max_path_error": jnp.max(m["max_path_error"]),
+            "executed_steps": jnp.sum(m["n_steps"]),
+            "status_counts": jnp.sum(
+                final.status[:, None] == jnp.arange(4)[None, :], axis=0
+            ),
+        }
 
     def cells_fn(states0, lib_stack, shared):
-        def one(s0, lib_c):
-            st = shared._replace(lib=lib_c)
-            final, rec = nav(s0, st)
-            m = episode_metrics(final, rec)
-            succ = m["success"].astype(jnp.float32)
-            return {
-                "success_rate": jnp.mean(succ),
-                "mean_steps": jnp.mean(m["n_steps"].astype(jnp.float32)),
-                "mean_path_error": jnp.mean(m["mean_path_error"]),
-                "max_path_error": jnp.max(m["max_path_error"]),
-                "executed_steps": jnp.sum(m["n_steps"]),
-                "status_counts": jnp.sum(
-                    final.status[:, None] == jnp.arange(4)[None, :], axis=0
-                ),
-            }
+        return jax.vmap(
+            lambda s0, lib_c: _one(shared, s0, lib_c, None)
+        )(states0, lib_stack)
 
-        return jax.vmap(one)(states0, lib_stack)
+    def cells_fn_aux(states0, lib_stack, shared, aux_stack):
+        return jax.vmap(
+            lambda s0, lib_c, aux_c: _one(shared, s0, lib_c, aux_c)
+        )(states0, lib_stack, aux_stack)
 
     fn = jax.jit(shard_map(
         cells_fn, mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(DATA_AXIS), check_vma=False,
     ))
+    fn_aux = jax.jit(shard_map(
+        cells_fn_aux, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    ))
 
-    def run(states0: AgentState, lib_stack: LibraryPack, shared: EpisodeStatics):
+    def _validate(states0, shared):
         c = states0.theta.shape[0]
         if c % n_data != 0:
             raise ValueError(
@@ -325,6 +346,30 @@ def make_navigate_cells(cfg: SimConfig, mesh: Mesh, fam_impl: str = "jnp",
         if shared.lib is not None:
             raise ValueError("shared statics must carry lib=None; the "
                              "library stack is the per-cell argument")
-        return fn(states0, lib_stack, shared)
 
+    def run(states0: AgentState, lib_stack: LibraryPack,
+            shared: EpisodeStatics, aux_stack=None):
+        _validate(states0, shared)
+        if aux_stack is None:
+            return fn(states0, lib_stack, shared)
+        return fn_aux(states0, lib_stack, shared, aux_stack)
+
+    if lib_prepare is None:
+        run.prepare = None
+    else:
+        prep = jax.jit(shard_map(
+            lambda lib_stack, shared: jax.vmap(
+                lambda lib_c: lib_prepare(shared._replace(lib=lib_c))
+            )(lib_stack),
+            mesh=mesh, in_specs=(P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS), check_vma=False,
+        ))
+
+        def prepare(lib_stack: LibraryPack, shared: EpisodeStatics):
+            if shared.lib is not None:
+                raise ValueError("shared statics must carry lib=None; the "
+                                 "library stack is the per-cell argument")
+            return prep(lib_stack, shared)
+
+        run.prepare = prepare
     return run

@@ -15,6 +15,7 @@ SURVEY.md §3.5 rebuild notes:
 from __future__ import annotations
 
 import dataclasses
+import glob
 import itertools
 import json
 import logging
@@ -73,10 +74,18 @@ class SweepSpec:
             return tuple(tuple(v) if isinstance(v, list) else v for v in x)
 
         kw = {}
-        for field in dataclasses.fields(cls):
-            if field.name in raw:
-                v = raw[field.name]
-                kw[field.name] = tup(v) if isinstance(v, list) else v
+        names = {field.name for field in dataclasses.fields(cls)}
+        unknown = set(raw) - names
+        if unknown:
+            # a typo'd key (n_trails) silently running the grid with a
+            # default budget is a worst-case failure for long sweeps
+            raise ValueError(
+                f"unknown SweepSpec keys in {path}: {sorted(unknown)} "
+                f"(valid: {sorted(names)})"
+            )
+        for name in names & set(raw):
+            v = raw[name]
+            kw[name] = tup(v) if isinstance(v, list) else v
         return cls(**kw)
 
     def cells(self):
@@ -212,9 +221,14 @@ def run_cell(
             shard_statics,
         )
 
-        shard_lib = mesh.shape[LIB_AXIS] > 1
+        # infomax cannot shard the library axis (the learned memory is
+        # constant in Nl; make_navigate_sharded rejects it) — replicate
+        # instead of crashing the first infomax cell of a lib-sharded sweep
+        shard_lib = mesh.shape[LIB_AXIS] > 1 and fam_impl != "infomax"
         st = shard_statics(st, mesh, shard_lib=shard_lib)
-        key = ("mesh", cfg_key, fam_impl, id(mesh), shard_lib)
+        # Mesh is hashable — keying on id(mesh) could alias a freed mesh's
+        # recycled address in a long-lived nav_cache
+        key = ("mesh", cfg_key, fam_impl, mesh, shard_lib)
         if key not in nav_cache:
             nav_cache[key] = make_navigate_sharded(
                 cfg, mesh, fam_impl=fam_impl, shard_lib=shard_lib
@@ -248,7 +262,9 @@ def run_cell(
         "max_path_error": np.asarray(jnp.max(m["max_path_error"])),
         "status_counts": np.bincount(np.asarray(final.status), minlength=4),
         "n_library_views": np.asarray(n_views_true),
-        "n_library_padded": np.asarray(lib.views.shape[0]),
+        # post-sharding: under a lib-axis mesh, shard_statics pads further
+        # to a multiple of the axis size — record what the run actually used
+        "n_library_padded": np.asarray(int(st.lib.views.shape[0])),
         "n_trials": np.asarray(n_trials),
         "wall_s": np.asarray(wall),
         "warmup_s": np.asarray(warmup_s),
@@ -372,13 +388,36 @@ def run_sweep(
                 f"[sweep] {key}: success={float(res['success_rate']):.3f} "
                 f"steps/s={float(res['agent_steps_per_s']):,.0f}"
             )
+    _write_summary(out_dir, all_results)
+    return all_results
+
+
+def _write_summary(out_dir: str, all_results: dict) -> None:
+    """summary.json over every cell file ON DISK, written atomically.
+
+    A sharded launch (``shard=(i, n)``) runs n processes against one
+    out_dir: this process's ``all_results`` is only its slice, and a plain
+    overwrite made the last finisher's partial view the whole summary. The
+    union with on-disk cells keeps the summary complete whichever process
+    writes last; the pid-unique tmp + ``os.replace`` keeps concurrent
+    writers and readers from ever seeing a truncated file.
+    """
+    merged = dict(all_results)
+    for path in sorted(glob.glob(os.path.join(out_dir, "cell_*.npz"))):
+        key = os.path.basename(path)[len("cell_") : -len(".npz")]
+        if key not in merged:
+            try:
+                merged[key] = load_results(path)
+            except Exception:  # a sibling shard mid-write; its own
+                continue  # _write_summary will include the cell
     summary = {
         k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
-        for k, v in all_results.items()
+        for k, v in merged.items()
     }
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+    tmp = os.path.join(out_dir, f"summary.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
         json.dump(summary, f, indent=2)
-    return all_results
+    os.replace(tmp, os.path.join(out_dir, "summary.json"))
 
 
 def _run_sweep_cells_mesh(
@@ -404,7 +443,6 @@ def _run_sweep_cells_mesh(
     the last cell; padding results are dropped on unstack. Per-cell result
     files and resume behave exactly as the serial path.
     """
-    from navdv_tpu.agent import init_state, make_statics
     from navdv_tpu.config import choose_fam_impl
     from navdv_tpu.parallel.mesh import (
         DATA_AXIS,
@@ -477,11 +515,20 @@ def _run_sweep_cells_mesh(
         states0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         shared = make_statics(land_dev, libs[0], route)._replace(lib=None)
         nav_cells = make_navigate_cells(cfg_repr, cells_mesh, impl)
+        # per-cell library constants ONCE per group, outside the timing —
+        # with aux=None the prepare stage (spectra relayout; for infomax the
+        # whole network TRAINING) would re-run inside warmup AND timed call
+        aux_stack = (
+            nav_cells.prepare(lib_stack, shared)
+            if nav_cells.prepare is not None else None
+        )
         t0 = time.perf_counter()
-        out = jax.block_until_ready(nav_cells(states0, lib_stack, shared))
+        out = jax.block_until_ready(
+            nav_cells(states0, lib_stack, shared, aux_stack))
         warmup_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = jax.block_until_ready(nav_cells(states0, lib_stack, shared))
+        out = jax.block_until_ready(
+            nav_cells(states0, lib_stack, shared, aux_stack))
         wall = time.perf_counter() - t0
         group_steps = float(np.sum(np.asarray(out["executed_steps"])[:c_true]))
         for i, (key, cfg, params, n_views_true) in enumerate(cells):
@@ -512,10 +559,5 @@ def _run_sweep_cells_mesh(
                     f"group of {c_true} over {n_data} devices"
                 )
 
-    summary = {
-        k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
-        for k, v in all_results.items()
-    }
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    _write_summary(out_dir, all_results)
     return all_results

@@ -191,3 +191,39 @@ def test_navigate_cells_rejects_misuse(small_cfg, small_world):
     sr = np.asarray(out["success_rate"])
     assert sr.shape == (4,)
     np.testing.assert_array_equal(sr, sr[0])
+    # jnp has no prepare stage
+    assert run.prepare is None
+
+
+def test_navigate_cells_prepare_parity(small_cfg, small_world):
+    """run.prepare builds the per-cell aux stack once; prepared and
+    unprepared invocations are the same computation on the same shards."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import navdv_tpu as nav
+    from navdv_tpu.agent import init_state, make_statics
+    from navdv_tpu.parallel.mesh import make_mesh, make_navigate_cells
+    from navdv_tpu.trials import make_trials
+
+    landscape, route = small_world
+    mesh = make_mesh(4, 1)
+    run = make_navigate_cells(small_cfg, mesh, "fft")
+    assert run.prepare is not None
+    lib = nav.train_library(jnp.asarray(landscape), route, small_cfg)
+    st = make_statics(jnp.asarray(landscape), lib, route)
+    shared = st._replace(lib=None)
+    starts, thetas = make_trials(route, small_cfg, 4, seed=0)
+    s_one = init_state(starts, thetas)
+    s4 = jax.tree.map(lambda x: jnp.stack([x] * 4), s_one)
+    lib4 = jax.tree.map(lambda x: jnp.stack([x] * 4), lib)
+
+    aux = run.prepare(lib4, shared)
+    got = run(s4, lib4, shared, aux)
+    want = run(s4, lib4, shared)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=0, atol=0,
+            err_msg=k,
+        )

@@ -63,6 +63,39 @@ def test_sweep_sharding_unions_to_full_grid(small_world, tmp_path):
     r1 = run_sweep(landscape, route, spec, out, verbose=False, shard=(1, 2))
     assert len(r0) == 1 and len(r1) == 1
     assert set(r0) | set(r1) == {k for k, _, _ in spec.cells()}
+    # summary.json is the UNION of on-disk cells, not the last writer's
+    # slice (each shard process only holds its own cells in memory)
+    import json
+
+    with open(os.path.join(out, "summary.json")) as f:
+        assert set(json.load(f)) == set(r0) | set(r1)
+
+
+def test_spec_from_json_rejects_unknown_keys(tmp_path):
+    """A typo'd spec key (n_trails) must fail loudly, not silently run the
+    whole grid with a default budget."""
+    import json
+
+    import pytest
+
+    good = {"n_trials": 8, "max_steps": 16}
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(good))
+    assert SweepSpec.from_json(str(p)).n_trials == 8
+    p.write_text(json.dumps({**good, "n_trails": 4096}))
+    with pytest.raises(ValueError, match="n_trails"):
+        SweepSpec.from_json(str(p))
+
+
+def test_run_cell_infomax_on_lib_sharded_mesh(small_cfg, small_world):
+    """An infomax cell on a mesh with a lib axis replicates the library
+    instead of crashing (the learned memory cannot shard over Nl)."""
+    from navdv_tpu.parallel.mesh import make_mesh
+
+    landscape, route = small_world
+    res = run_cell(landscape, route, small_cfg, n_trials=4, seed=0,
+                   fam_impl="infomax", mesh=make_mesh(2, 2))
+    assert 0.0 <= float(res["success_rate"]) <= 1.0
 
 
 def test_sweep_heatmap_uses_structured_metadata(small_world, tmp_path):
