@@ -83,28 +83,36 @@ def _pad_penalty(lib: LibraryPack) -> jnp.ndarray:
     return (1.0 - lib.valid)[None, :] * PAD_PENALTY
 
 
-def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
-    """d[s, v] = sum((cand_s - lib_v)^2) via the matmul decomposition."""
+def ssd_matrix(cand: jnp.ndarray, lib: LibraryPack,
+               precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+    """d[s, v] = sum((cand_s - lib_v)^2) via the matmul decomposition.
+
+    Default HIGH (bf16x3): the decomposition cancels catastrophically at
+    plain bf16. ``precision`` threads ScanConfig.matmul_precision so the
+    reference path runs the SAME rounding class as the production path it
+    is compared against (see make_familiarity_jnp).
+    """
     cand_sq = jnp.sum(cand * cand, axis=1)  # [Ns]
-    # HIGH (bf16x3): the decomposition cancels catastrophically at plain bf16
-    cross = jnp.dot(cand, lib.flat.T, precision=jax.lax.Precision.HIGH)  # [Ns, Nl]
+    cross = jnp.dot(cand, lib.flat.T, precision=precision)  # [Ns, Nl]
     d = cand_sq[:, None] + lib.sq[None, :] - 2.0 * cross
     return jnp.maximum(d, 0.0) + _pad_penalty(lib)  # clamp fp cancellation noise
 
 
-def ncc_matrix(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
+def ncc_matrix(cand: jnp.ndarray, lib: LibraryPack,
+               precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """d[s, v] = 1 - mean(z(cand_s) * z(lib_v)) (SEMANTICS.md §4)."""
     p = cand.shape[1]
     zc = zscore(cand)
-    d = 1.0 - jnp.dot(zc, lib.z.T, precision=jax.lax.Precision.HIGH) / p
+    d = 1.0 - jnp.dot(zc, lib.z.T, precision=precision) / p
     return d + _pad_penalty(lib)
 
 
-def distance_matrix(cand: jnp.ndarray, lib: LibraryPack, metric: str) -> jnp.ndarray:
+def distance_matrix(cand: jnp.ndarray, lib: LibraryPack, metric: str,
+                    precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     if metric == "ssd":
-        return ssd_matrix(cand, lib)
+        return ssd_matrix(cand, lib, precision)
     if metric == "ncc":
-        return ncc_matrix(cand, lib)
+        return ncc_matrix(cand, lib, precision)
     raise ValueError(metric)
 
 
@@ -124,8 +132,10 @@ def make_familiarity_jnp(sensor: SensorConfig, scan: ScanConfig):
     if scan.metric not in ("ssd", "ncc"):
         raise ValueError(f"unknown familiarity metric {scan.metric!r}")
 
+    prec = matmul_precision(scan.matmul_precision)
+
     def fam(cand_ext: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
-        d = distance_matrix(cand_ext, lib, scan.metric)
+        d = distance_matrix(cand_ext, lib, scan.metric, prec)
         return reduce_familiarity(d, scan)
 
     return fam

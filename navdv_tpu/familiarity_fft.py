@@ -202,7 +202,7 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         runs at the TRUE candidate lags with no rolled tensor materialized
         (mu is roll-invariant)."""
         sre, sim, mu = spec
-        zc, rowsum_z = aux
+        zc, rowsum_z = aux[0], aux[1]  # NCC aux carries a third leaf (zsum)
         k_corr = jnp.einsum("br,vr->bv", mu, rowsum_z, precision=prec)
         if roll_k is not None:
             # reduce k*f mod A in exact int32 first: the raw angle reaches
@@ -247,7 +247,7 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         def prepare(lib: LibraryPack):
             return _prepare_rows(lib.flat)
 
-        def _finish(cross, lib, lag_sum, lag_sq):
+        def _finish(cross, lib, lag_sum, lag_sq, aux):
             pen = (1.0 - lib.valid) * PAD_PENALTY
             d = (
                 lag_sq[:, None, :]
@@ -259,26 +259,34 @@ def make_lib_min_fft(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
     else:
 
         def prepare(lib: LibraryPack):
-            return _prepare_rows(lib.z)
+            # zsum ([Nl], ≈0 for z-scored views; kept exact) lives in the
+            # prepare aux: computed per step it is a full [Nl, P] library
+            # reduction inside the episode scan, riding on the XLA
+            # loop-invariant hoisting this module was measured to lose
+            return _prepare_rows(lib.z) + (jnp.sum(lib.z, axis=1),)
 
-        def _finish(cross, lib, lag_sum, lag_sq):
+        def _finish(cross, lib, lag_sum, lag_sq, aux):
             pen = (1.0 - lib.valid) * PAD_PENALTY
             mu = lag_sum / p
             var = jnp.maximum(lag_sq / p - mu * mu, 0.0)
             sigma = jnp.sqrt(var + NCC_EPS)
-            zsum = jnp.sum(lib.z, axis=1)  # [Nl] (≈0: z-scored views; exact)
+            zsum = aux[2]
             zdot = (cross - mu[:, None, :] * zsum[None, :, None]) / sigma[:, None, :]
             d = 1.0 - zdot / p + pen[None, :, None]
             return jnp.min(d, axis=1)  # [B, L]
 
     def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None, roll_k=None):
-        cross = _cross(s, prepare(lib) if aux is None else aux, roll_k)
-        return _finish(cross, lib, lag_sum, lag_sq)
+        if aux is None:
+            aux = prepare(lib)
+        cross = _cross(s, aux, roll_k)
+        return _finish(cross, lib, lag_sum, lag_sq, aux)
 
     def lib_min_spectral(spec, lib: LibraryPack, lag_sum, lag_sq, aux=None,
                          roll_k=None):
-        cross = _cross_spectral(spec, prepare(lib) if aux is None else aux, roll_k)
-        return _finish(cross, lib, lag_sum, lag_sq)
+        if aux is None:
+            aux = prepare(lib)
+        cross = _cross_spectral(spec, aux, roll_k)
+        return _finish(cross, lib, lag_sum, lag_sq, aux)
 
     lib_min.prepare = prepare
     lib_min.spectral = lib_min_spectral

@@ -313,15 +313,21 @@ def make_lib_min_roll(sensor: SensorConfig, scan: ScanConfig, lags: np.ndarray):
         return lib_min
 
     def prepare(lib: LibraryPack):
-        return _prepare_rows(lib.z)
+        # zsum ([Nl], ≈0 for z-scored views; kept exact) belongs in the
+        # prepare aux: per step it is a full [Nl, P] reduction inside the
+        # episode scan, riding on the XLA loop-invariant hoisting this
+        # module's prepare stage exists because XLA was measured to lose
+        return _prepare_rows(lib.z), jnp.sum(lib.z, axis=1)
 
     def lib_min(s, lib: LibraryPack, lag_sum, lag_sq, aux=None):
-        cg = _cross_grid(s, prepare(lib) if aux is None else aux)
+        if aux is None:
+            aux = prepare(lib)
+        rows, zsum = aux
+        cg = _cross_grid(s, rows)
         pen = (1.0 - lib.valid) * PAD_PENALTY
         mu = _to_grid(lag_sum / p)  # [B, u, nq]
         var = jnp.maximum(_to_grid(lag_sq / p) - mu * mu, 0.0)
         sigma = jnp.sqrt(var + NCC_EPS)
-        zsum = jnp.sum(lib.z, axis=1)  # [Nl]
         zdot = (cg - mu[..., None] * zsum[None, None, None, :]) / sigma[..., None]
         d = 1.0 - zdot / p + pen[None, None, None, :]
         m_grid = jnp.min(d, axis=3)  # [B, u, nq]

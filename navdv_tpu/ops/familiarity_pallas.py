@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from navdv_tpu.config import ScanConfig, SensorConfig
-from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY, LibraryPack
+from navdv_tpu.familiarity import PAD_PENALTY, LibraryPack, zscore
 
 # VMEM budget: (TILE_ROWS + TILE_LIB) * TILE_P * 4B * 2 (double buffering)
 # + TILE_ROWS * TILE_LIB * 4B (acc scratch) must stay well under the 16MB
@@ -157,10 +157,19 @@ def min_distance_rows(
     return out[:rows, 0]
 
 
-def _zscore_rows(v: jnp.ndarray) -> jnp.ndarray:
-    m = v.mean(axis=-1, keepdims=True)
-    var = ((v - m) ** 2).mean(axis=-1, keepdims=True)
-    return (v - m) / jnp.sqrt(var + NCC_EPS)
+def _metric_min_rows(metric: str, rows, lib: LibraryPack, p: int, interpret):
+    """One place for the metric -> kernel-parameter mapping (a/b/gamma/alpha/
+    with_rowsq) and the parity-critical SSD clamp — both public entry points
+    dispatch through it so they cannot desynchronize."""
+    pen = (1.0 - lib.valid) * PAD_PENALTY
+    if metric == "ssd":
+        m = min_distance_rows(
+            rows, lib.flat, lib.sq + pen, -2.0, True, interpret=interpret
+        )
+        return jnp.maximum(m, 0.0)  # clamp fp cancellation (parity w/ jnp ref)
+    return min_distance_rows(
+        zscore(rows), lib.z, pen, -1.0 / p, False, interpret=interpret
+    )
 
 
 def make_lib_min_pallas(
@@ -179,16 +188,7 @@ def make_lib_min_pallas(
     def lib_min(cand: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
         b, nl_rows, p = cand.shape
         rows = cand.reshape(b * nl_rows, p)
-        pen = (1.0 - lib.valid) * PAD_PENALTY
-        if scan.metric == "ssd":
-            m = min_distance_rows(
-                rows, lib.flat, lib.sq + pen, -2.0, True, interpret=interpret
-            )
-            m = jnp.maximum(m, 0.0)
-        else:
-            m = min_distance_rows(
-                _zscore_rows(rows), lib.z, pen, -1.0 / p, False, interpret=interpret
-            )
+        m = _metric_min_rows(scan.metric, rows, lib, p, interpret)
         return m.reshape(b, nl_rows)
 
     return lib_min
@@ -215,22 +215,7 @@ def make_familiarity_batched_pallas(
     def fam(cand_ext: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
         b, ne, p = cand_ext.shape
         rows = cand_ext.reshape(b * ne, p)
-        pen = (1.0 - lib.valid) * PAD_PENALTY
-        if scan.metric == "ssd":
-            a = rows
-            bmat = lib.flat
-            gamma = lib.sq + pen
-            alpha = -2.0
-            with_rowsq = True
-        else:
-            a = _zscore_rows(rows)
-            bmat = lib.z
-            gamma = pen
-            alpha = -1.0 / p
-            with_rowsq = False
-        m = min_distance_rows(a, bmat, gamma, alpha, with_rowsq, interpret=interpret)
-        if scan.metric == "ssd":
-            m = jnp.maximum(m, 0.0)  # clamp fp cancellation (parity w/ jnp ref)
+        m = _metric_min_rows(scan.metric, rows, lib, p, interpret)
         # RIDF min-pool over the tolerance window, per heading (SEMANTICS.md §4)
         return m.reshape(b, nh, w).min(axis=2)
 

@@ -697,21 +697,17 @@ def make_lag_stats(
         res_sq = jnp.sum(colsq.reshape(b, w, u), axis=1)  # [B, u]
         return res_sum, res_sq
 
-    if not dynamic_roll:
-        def stats(s: jnp.ndarray):
-            res_sum, res_sq = _per_residue(s)
-            return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
+    def stats(s: jnp.ndarray):
+        res_sum, res_sq = _per_residue(s)
+        return res_sum[:, residues], res_sq[:, residues]  # [B, Ns] each
 
+    if not dynamic_roll:
         return stats
 
     if u == 1:
         # a single residue class: the roll is a provable no-op, so skip the
         # one-hot select on the sector hot path (BASELINE config 3 has u=1)
-        def stats_trivial(s: jnp.ndarray, k: jnp.ndarray):
-            res_sum, res_sq = _per_residue(s)
-            return res_sum[:, residues], res_sq[:, residues]
-
-        return stats_trivial
+        return lambda s, k: stats(s)
 
     def stats_rolled(s: jnp.ndarray, k: jnp.ndarray):
         """Sector-renderer variant: ``s`` is the pooled phi-frame panorama and
