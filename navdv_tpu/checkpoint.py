@@ -40,7 +40,13 @@ def load_results(path: str) -> dict:
 
 def _save_pack(path: str, pack) -> None:
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, pack._asdict()))
+    # force: overwrite semantics match save_results — without it a re-run
+    # dies on "destination exists" AFTER the expensive retrain it followed
+    ckpt.save(
+        os.path.abspath(path),
+        jax.tree.map(np.asarray, pack._asdict()),
+        force=True,
+    )
     ckpt.wait_until_finished()
 
 

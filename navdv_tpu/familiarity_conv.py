@@ -24,7 +24,7 @@ import numpy as np
 
 from navdv_tpu.config import ScanConfig, SensorConfig
 from navdv_tpu.familiarity import NCC_EPS, PAD_PENALTY, LibraryPack, matmul_precision
-from navdv_tpu.sensor import scan_lag_sets
+from navdv_tpu.sensor import make_pooled_panorama, scan_lag_sets
 
 
 def conv_lag_geometry(sensor: SensorConfig, scan: ScanConfig):
@@ -73,12 +73,11 @@ def make_fam_conv(sensor: SensorConfig, scan: ScanConfig):
     # fam row gather: window_idx maps (heading, delta) -> lag index -> conv row
     fam_rows = jnp.asarray(lag_rows[window_idx])  # [Nh, 2t+1]
     inv_u = 1.0 / u
+    pooled = make_pooled_panorama(sensor)  # shared circular prefix-pool
 
     def fam(pano: jnp.ndarray, lib: LibraryPack) -> jnp.ndarray:
         b = pano.shape[0]
-        s = pano
-        for j in range(1, u):
-            s = s + jnp.roll(pano, -j, axis=2)
+        s = pooled(pano)
         text = s[:, :, col_idx] * inv_u  # [B, R, u, width]
         lhs = jnp.transpose(text, (0, 2, 1, 3)).reshape(b * u, r, width)
 
@@ -90,7 +89,7 @@ def make_fam_conv(sensor: SensorConfig, scan: ScanConfig):
             rowsq = _conv1d(lhs * lhs, ones, prec)  # [B*u, 1, qrange]
             gamma = lib.sq + pen
             d = rowsq + gamma[None, :, None] - 2.0 * cross
-            d = jnp.maximum(d, 0.0) + 0.0  # clamp fp cancellation
+            d = jnp.maximum(d, 0.0)  # clamp fp cancellation
         else:
             zlib = lib.z.reshape(-1, r, w)
             cross = _conv1d(lhs, zlib, prec)  # [B*u, Nl, qrange]

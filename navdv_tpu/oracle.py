@@ -104,9 +104,15 @@ def resample_route(route: np.ndarray, spacing: float) -> tuple[np.ndarray, np.nd
         f = (t - cum[j]) / max(seglen[j], 1e-12)
         pts[i] = route[j] + f * seg[j]
     tan = np.diff(pts, axis=0)
+    if len(tan) == 0:
+        # degenerate route shorter than one spacing: a single capture whose
+        # heading is the route's own first-segment tangent (diff-of-points
+        # would return 0 headings for 1 point, crashing every consumer with
+        # a confusing shape error far from the cause)
+        tan = seg[:1]
     headings = np.arctan2(tan[:, 1], tan[:, 0])
     headings = np.concatenate([headings, headings[-1:]])  # last copies previous
-    return pts, headings
+    return pts, headings[: len(pts)]
 
 
 def train_library(landscape: np.ndarray, route: np.ndarray, cfg: SimConfig) -> np.ndarray:

@@ -121,13 +121,24 @@ class NavigationSimulator:
                 pos_sigma=pos_sigma, heading_sigma=heading_sigma,
                 start_anywhere=start_anywhere,
             )
-        elif headings is None:
+        else:
+            # normalize BOTH explicit-start call styles: an unbatched [2]
+            # start otherwise crashes deep in the jitted renderer
             starts = np.atleast_2d(np.asarray(starts, np.float64))
-            pts, hd = resample_route(self.route, self.cfg.capture_spacing)
-            nearest = np.argmin(
-                ((starts[:, None, :] - pts[None, :, :]) ** 2).sum(-1), axis=1
-            )
-            headings = hd[nearest]
+            if headings is None:
+                pts, hd = resample_route(self.route, self.cfg.capture_spacing)
+                nearest = np.argmin(
+                    ((starts[:, None, :] - pts[None, :, :]) ** 2).sum(-1),
+                    axis=1,
+                )
+                headings = hd[nearest]
+            else:
+                headings = np.atleast_1d(np.asarray(headings, np.float64))
+                if headings.shape[0] != starts.shape[0]:
+                    raise ValueError(
+                        f"headings batch {headings.shape[0]} != starts "
+                        f"batch {starts.shape[0]}"
+                    )
         final, rec = jax.block_until_ready(
             self._navigate(init_state(starts, headings), self._statics, self._aux)
         )

@@ -23,7 +23,7 @@ def plot_trajectory(landscape, route, rec, path: str, title: str = "") -> str:
     """Recalled trajectory (single episode or a batch) over the landscape."""
     fig, ax = plt.subplots(figsize=(7, 7))
     land = np.asarray(landscape)
-    ax.imshow(land, cmap="gray", origin="lower", extent=(0, land.shape[1], 0, land.shape[0]))
+    ax.imshow(land, cmap="gray", origin="lower", extent=(-0.5, land.shape[1] - 0.5, -0.5, land.shape[0] - 0.5))
     route = np.asarray(route)
     ax.plot(route[:, 0], route[:, 1], "c-", lw=2, label="training route")
     xy = np.asarray(rec.xy)
@@ -61,6 +61,20 @@ def plot_familiarity_trace(rec, path: str) -> str:
     return path
 
 
+def _axis_sort_key(v: str):
+    """Numeric-aware ordering for sweep axis labels: plain numbers sort by
+    value ("0.5" < "2.0" < "10.0") and structured labels by their embedded
+    numbers ("18x4u20" < "72x16u5" < "360x64u1") — lexicographic string sort
+    scrambles exactly the monotone parameter trend the heatmap exists to
+    show."""
+    import re
+
+    try:
+        return (0, (float(v),), "")
+    except ValueError:
+        return (1, tuple(float(n) for n in re.findall(r"-?\d+\.?\d*", v)), v)
+
+
 def plot_sweep_heatmap(results: dict, axis_x: str, axis_y: str, path: str) -> str:
     """Success-rate heatmap over two sweep axes.
 
@@ -80,8 +94,8 @@ def plot_sweep_heatmap(results: dict, axis_x: str, axis_y: str, path: str) -> st
                 "re-run the sweep (older result files predate ax_* metadata)"
             ) from None
         rows[(y, x)] = float(res["success_rate"])
-    ys = sorted({k[0] for k in rows})
-    xs = sorted({k[1] for k in rows})
+    ys = sorted({k[0] for k in rows}, key=_axis_sort_key)
+    xs = sorted({k[1] for k in rows}, key=_axis_sort_key)
     mat = np.full((len(ys), len(xs)), np.nan)
     for (y, x), v in rows.items():
         mat[ys.index(y), xs.index(x)] = v
@@ -130,7 +144,7 @@ def plot_familiarity_map(
     fig, ax = plt.subplots(figsize=(7.5, 7))
     land = np.asarray(landscape)
     ax.imshow(land, cmap="gray", origin="lower",
-              extent=(0, land.shape[1], 0, land.shape[0]), alpha=0.45)
+              extent=(-0.5, land.shape[1] - 0.5, -0.5, land.shape[0] - 0.5), alpha=0.45)
     x, y, fam = fmap["x"], fmap["y"], fmap["fam"]
     # grid coordinates are CELL CENTERS; imshow extent takes edges, so pad
     # by half a stride or the heat layer lands half a cell off the
@@ -169,12 +183,20 @@ def animate_episode(landscape, route, rec, path: str, fps: int = 20) -> str:
     land = np.asarray(landscape)
     route = np.asarray(route)
     xy = np.asarray(rec.xy)
+    if xy.ndim == 3:
+        # boolean-masking a [B, T, 2] batch would silently splice every
+        # agent's steps into one teleporting fake trajectory
+        raise ValueError(
+            f"animate_episode wants ONE episode (xy [T, 2]); got a batched "
+            f"record {xy.shape} — slice one out, e.g. "
+            f"jax.tree.map(lambda x: x[0], rec)"
+        )
     theta = np.asarray(rec.theta)
     act = _active_slice(rec)
     xy, theta = xy[act], theta[act]
 
     fig, ax = plt.subplots(figsize=(6, 6))
-    ax.imshow(land, cmap="gray", origin="lower", extent=(0, land.shape[1], 0, land.shape[0]))
+    ax.imshow(land, cmap="gray", origin="lower", extent=(-0.5, land.shape[1] - 0.5, -0.5, land.shape[0] - 0.5))
     ax.plot(route[:, 0], route[:, 1], "c-", lw=2)
     (trail,) = ax.plot([], [], "r-", lw=1)
     (head,) = ax.plot([], [], "ro", ms=5)

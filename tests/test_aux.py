@@ -80,6 +80,32 @@ def test_distributed_init_single_host():
     assert mesh.devices.size == len(jax.devices())
 
 
+def test_distributed_init_raises_with_cluster_context(monkeypatch):
+    """A failed initialize with launcher env present must raise: degrading
+    to single-host there means every host silently runs the whole workload
+    independently."""
+    import pytest
+
+    from navdv_tpu.parallel import distributed
+
+    monkeypatch.setattr(
+        jax.distributed, "is_initialized", lambda: False, raising=False
+    )
+    def boom(**kw):
+        raise ValueError("no coordinator")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    # no cluster context: swallowed (logged), single-host continues
+    distributed.init_distributed()
+    # launcher env present: loud failure
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    with pytest.raises(RuntimeError, match="cluster context"):
+        distributed.init_distributed()
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES")
+    # explicit kwargs: loud failure
+    with pytest.raises(RuntimeError, match="cluster context"):
+        distributed.init_distributed(coordinator_address="127.0.0.1:1")
+
+
 def test_persistent_compile_cache_writes_and_hits(tmp_path):
     """enable_persistent_cache persists compiled executables to disk
     (SURVEY.md §3.5: per-cell-shape compiles; the cache removes them across

@@ -87,6 +87,15 @@ def test_point_to_polyline_dists_batch():
         assert di == pytest.approx(oracle.point_to_polyline_dist(p, route))
 
 
+def test_resample_route_degenerate_short_route():
+    """A route shorter than one capture spacing yields one capture with a
+    matching heading (the route's own tangent), not mismatched lengths."""
+    route = np.array([[10.0, 10.0], [10.4, 10.3]])  # arc 0.5 < spacing 1.0
+    pts, headings = oracle.resample_route(route, spacing=1.0)
+    assert pts.shape == (1, 2) and headings.shape == (1,)
+    np.testing.assert_allclose(headings[0], np.arctan2(0.3, 0.4), rtol=1e-6)
+
+
 def test_point_to_polyline_dists_chunked(monkeypatch):
     """The memory-bounding chunk loop splits without changing values."""
     rng = np.random.default_rng(1)

@@ -41,3 +41,11 @@ def test_simulator_starts_without_headings(small_cfg, small_world):
 
     with pytest.raises(ValueError, match="headings given without starts"):
         sim.navigate(headings=np.zeros(4))
+
+    # unbatched single pose normalizes in BOTH explicit-start call styles
+    one = sim.navigate(starts=pts[0] + 0.25)
+    assert one.record.xy.shape[0] == 1
+    one2 = sim.navigate(starts=pts[0] + 0.25, headings=float(hd[0]))
+    assert one2.record.xy.shape[0] == 1
+    with pytest.raises(ValueError, match="headings batch"):
+        sim.navigate(starts=pts[:4], headings=np.zeros(3))

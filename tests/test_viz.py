@@ -51,3 +51,21 @@ def test_animate_episode(episode, tmp_path):
     import os
 
     assert os.path.getsize(out) > 1000  # mp4 or gif fallback
+
+
+def test_animate_episode_rejects_batched_record(episode, tmp_path):
+    """A [B, T] record boolean-masked would splice every agent's steps into
+    one teleporting fake trajectory — reject it with guidance instead."""
+    landscape, route, _, brec = episode
+    with pytest.raises(ValueError, match="ONE episode"):
+        viz.animate_episode(landscape, route, brec, str(tmp_path / "x.mp4"))
+
+
+def test_axis_sort_key_orders_numerically():
+    """Heatmap axis labels order by value, not lexicographically."""
+    vals = ["10.0", "0.5", "2.0"]
+    assert sorted(vals, key=viz._axis_sort_key) == ["0.5", "2.0", "10.0"]
+    px = ["360x64u1", "18x4u20", "72x16u5"]
+    assert sorted(px, key=viz._axis_sort_key) == [
+        "18x4u20", "72x16u5", "360x64u1",
+    ]
