@@ -84,8 +84,14 @@ def _needs_tpu_probe() -> bool:
     return _is_tpu_run() and not os.environ.get("NAVDV_BENCH_SKIP_PROBE")
 
 
+# Module-level so tests can substitute a hanging/failing stub and pin the
+# timeout/rc branches without needing the tunnel to actually be down (the
+# poisoned-IP simulation is inert while a live loopback relay is reachable).
+PROBE_CODE = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+
+
 def _probe_backend_once(timeout_s: float) -> tuple[bool, str]:
-    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    code = PROBE_CODE
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
